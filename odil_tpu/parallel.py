@@ -1,0 +1,102 @@
+"""SPMD execution over a TPU device mesh.
+
+The unit of parallelism in ODIL is the structured grid itself, so the
+natural mapping is spatial domain decomposition: every Field array carries a
+``NamedSharding`` over a ``jax.sharding.Mesh`` and the XLA SPMD partitioner
+compiles stencil ``roll``s into ICI collective-permutes (halo exchanges) and
+loss ``mean``s into psums (SURVEY.md §2.3).  The reference has no
+distributed execution at all (``src/odil/runtime.py:8-16`` pins one thread).
+
+Usage:
+    mesh = parallel.make_mesh("x:2,y:4")            # or dict / tuple spec
+    domain = Domain(cshape, mesh=mesh, partition={"x": "x", "y": "y"})
+
+Multi-host: call ``parallel.init_distributed()`` once per process before
+creating the mesh; the mesh then spans all connected hosts over DCN.
+"""
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+__all__ = [
+    "make_mesh",
+    "mesh_from_spec",
+    "auto_partition",
+    "init_distributed",
+    "device_count",
+]
+
+
+def device_count():
+    return jax.device_count()
+
+
+def init_distributed(coordinator_address=None, num_processes=None, process_id=None):
+    """Initializes multi-host JAX (DCN).  No-op for a single process."""
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def mesh_from_spec(spec, devices=None):
+    """Builds a Mesh from a spec like "x:2,y:4", {"x": 2, "y": 4}, or
+    [("x", 2), ("y", 4)].  Axis sizes must multiply to <= device count;
+    a size of -1 takes all remaining devices."""
+    if isinstance(spec, str):
+        pairs = []
+        for part in spec.split(","):
+            name, _, size = part.partition(":")
+            pairs.append((name.strip(), int(size) if size else -1))
+    elif isinstance(spec, dict):
+        pairs = list(spec.items())
+    else:
+        pairs = [tuple(p) for p in spec]
+
+    devices = list(devices if devices is not None else jax.devices())
+    total = len(devices)
+    known = int(np.prod([s for _, s in pairs if s != -1]))
+    pairs = [(n, s if s != -1 else max(1, total // known)) for n, s in pairs]
+    shape = tuple(s for _, s in pairs)
+    names = tuple(n for n, _ in pairs)
+    count = int(np.prod(shape))
+    assert count <= total, f"Mesh {dict(pairs)} needs {count} devices, have {total}"
+    grid = np.array(devices[:count]).reshape(shape)
+    return Mesh(grid, names)
+
+
+def make_mesh(spec=None, devices=None):
+    """Convenience: default spec shards all devices along one axis 'x'."""
+    if spec is None:
+        spec = f"x:{len(devices) if devices is not None else jax.device_count()}"
+    return mesh_from_spec(spec, devices)
+
+
+def auto_partition(domain_dimnames, mesh):
+    """Maps grid dimension names onto mesh axis names by name match, e.g.
+    dimnames ('t','x','y') with mesh axes ('x','y') -> {'x':'x','y':'y'}."""
+    names = set(mesh.axis_names)
+    return {d: d for d in domain_dimnames if d in names}
+
+
+def shard_state_arrays(domain, arrays):
+    """Re-places grid-shaped arrays in `arrays` with the domain sharding."""
+    sharding = domain.field_sharding()
+    if sharding is None:
+        return arrays
+    out = []
+    for a in arrays:
+        if a.ndim == domain.ndim:
+            out.append(jax.device_put(a, sharding))
+        else:
+            out.append(a)
+    return out
+
+
+def replicated(mesh):
+    """Fully-replicated sharding on `mesh` (for scalars/small params)."""
+    return NamedSharding(mesh, PartitionSpec())

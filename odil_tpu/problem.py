@@ -1,0 +1,349 @@
+"""Problem: compiles a user operator into device-resident evaluation products.
+
+Counterpart of the reference ``Problem`` (``src/odil/core.py:993-1386``) with
+three products:
+
+1. ``eval_loss_grad``  -- loss = sum of mean-squared residuals, gradients
+   w.r.t. every state array.  One fused XLA computation via
+   ``jax.jit(jax.value_and_grad(...))``.
+2. ``eval_operator``   -- residual fields only.
+3. ``eval_operator_grad`` / ``linearize`` -- per-stencil-offset gradient
+   arrays and a global sparse Jacobian for Newton.  The reference implements
+   this only for TensorFlow (``core.py:1363-1364`` raises for JAX); here it
+   is native JAX: every (key, shift, loc) sample is rebound as an
+   independent input of a replayed operator, then differentiated directly.
+
+For optimizers, ``make_loss_fn`` exposes the *uncompiled* pure function so
+the whole training loop (including the optimizer update) can live inside a
+single ``lax.scan`` on device.
+"""
+
+import math
+
+import jax
+import numpy as np
+
+from .context import Context
+from .fields import Array, Field, MultigridField, NeuralNet, field_arrays
+
+__all__ = ["Problem"]
+
+
+class Problem:
+
+    def __init__(self, operator, domain, extra=None, tracers=None, jit=None):
+        """
+        operator: callable(ctx) returning a list of residual fields or
+            (name, field) tuples; each field is an equation to drive to zero.
+        domain: Domain instance.
+        extra: static Python payload available as ``ctx.extra`` (not traced).
+        tracers: dict of arrays/scalars that become part of the jitted
+            signature; ``tracers['epoch']`` is provided by default.
+        """
+        self.domain = domain
+        self.operator = operator
+        self.extra = extra
+        tracers = dict(tracers) if tracers is not None else dict()
+        tracers.setdefault("epoch", 0)
+        self.tracers = tracers
+        if jit is None:
+            from . import runtime
+
+            jit = runtime.enable_jit
+        self.jit = jit
+
+        self._names = None
+        self._treedef = None
+        self._compiled_loss_grad = None
+        self._compiled_operator = None
+        self._compiled_operator_grad = None
+
+    # -- State (de)construction --------------------------------------------
+
+    def _capture_structure(self, state):
+        if self._treedef is None:
+            arrays, treedef = jax.tree_util.tree_flatten(state)
+            self._treedef = treedef
+
+    def state_from_arrays(self, arrays):
+        """Functionally rebuilds a State from the flat array list (pytree
+        leaves in ``arrays_from_state`` order)."""
+        return jax.tree_util.tree_unflatten(self._treedef, arrays)
+
+    # -- Core evaluation ----------------------------------------------------
+
+    def _run_operator(self, ctx):
+        ff = self.operator(ctx)
+        assert isinstance(ff, (tuple, list)) and len(ff), "Operator must return a non-empty list"
+        names = [f[0] if isinstance(f, tuple) else "" for f in ff]
+        nonempty = [n for n in names if n]
+        assert len(nonempty) == len(set(nonempty)), f"Names of fields must be unique, got {nonempty}"
+        values = [f[1] if isinstance(f, tuple) else f for f in ff]
+        self._names = names
+        return names, values
+
+    def loss_terms(self, arrays, tracers):
+        """Pure function: (arrays, tracers) -> (loss, terms, norms).
+
+        terms[i] = mean(residual_i^2) (or the raw mean for Context.Raw);
+        norms[i] = sqrt(terms[i]) (or the raw term itself)."""
+        mod = self.domain.mod
+        state = self.state_from_arrays(arrays)
+        ctx = Context(self.domain, state, extra=self.extra, tracers=tracers)
+        _, values = self._run_operator(ctx)
+        terms = [mod.mean(v.value) if isinstance(v, Context.Raw) else mod.mean(mod.square(v)) for v in values]
+        loss = sum(terms)
+        norms = [t if isinstance(v, Context.Raw) else mod.sqrt(t) for t, v in zip(terms, values)]
+        return loss, terms, norms
+
+    def make_loss_fn(self, state):
+        """Returns (loss_fn, arrays0): the pure loss function over the flat
+        array list, and the initial arrays.  loss_fn(arrays, tracers) ->
+        (loss, (terms, norms)), suitable for value_and_grad inside scan."""
+        self._capture_structure(state)
+        arrays0 = self.domain.arrays_from_state(state)
+
+        def loss_fn(arrays, tracers):
+            loss, terms, norms = self.loss_terms(arrays, tracers)
+            return loss, (terms, norms)
+
+        return loss_fn, arrays0
+
+    def eval_loss_grad(self, state):
+        """Evaluates loss, gradients, and residual norms on `state`.
+
+        Returns (loss, grads, terms, names, norms); loss/terms/norms as
+        numpy scalars, grads as device arrays in state-array order."""
+        if not state.initialized:
+            raise RuntimeError("Uninitialized state, use `state = domain.init_state(state)`")
+        self._capture_structure(state)
+        if self._compiled_loss_grad is None:
+
+            def func(arrays, tracers):
+                def loss_with_aux(a, t):
+                    loss, terms, norms = self.loss_terms(a, t)
+                    return loss, (terms, norms)
+
+                (loss, (terms, norms)), grads = jax.value_and_grad(loss_with_aux, has_aux=True)(
+                    arrays, tracers
+                )
+                return loss, grads, terms, norms
+
+            self._compiled_loss_grad = jax.jit(func) if self.jit else func
+
+        arrays = self.domain.arrays_from_state(state)
+        loss, grads, terms, norms = self._compiled_loss_grad(arrays, self.tracers)
+        if self._names is None:
+            # Trigger one eager trace to capture names (cache hit path).
+            self.loss_terms(arrays, self.tracers)
+        loss = np.array(loss)
+        terms = list(map(np.array, terms))
+        norms = list(map(np.array, norms))
+        return loss, grads, terms, list(self._names), norms
+
+    def eval_operator(self, state):
+        """Evaluates the residual fields. Returns (values, names)."""
+        if not state.initialized:
+            raise RuntimeError("Uninitialized state, use `state = domain.init_state(state)`")
+        self._capture_structure(state)
+        if self._compiled_operator is None:
+
+            def func(arrays, tracers):
+                st = self.state_from_arrays(arrays)
+                ctx = Context(self.domain, st, extra=self.extra, tracers=tracers)
+                _, values = self._run_operator(ctx)
+                return [v.value if isinstance(v, Context.Raw) else v for v in values]
+
+            self._compiled_operator = jax.jit(func) if self.jit else func
+        arrays = self.domain.arrays_from_state(state)
+        values = self._compiled_operator(arrays, self.tracers)
+        if self._names is None:
+            self.loss_terms(arrays, self.tracers)
+        return values, list(self._names)
+
+    # -- Newton linearization ----------------------------------------------
+
+    def _discover_descriptors(self, state):
+        """Runs the operator once in distinct-shift mode to discover which
+        (key, shift, loc) samples and which parameter unknowns it reads."""
+        ctx = Context(self.domain, state, extra=self.extra, tracers=self.tracers, distinct_shift=True)
+        names, values = self._run_operator(ctx)
+        grid_descs = list(ctx.desc_to_array.keys())
+        # Drop source descriptors of MultigridFields (constants for Newton).
+        grid_descs = [d for d in grid_descs if isinstance(state.fields[d[0]], Field)]
+        param_keys = list(ctx.key_to_array_jac.keys())
+        seed = {d: ctx.desc_to_array[d] for d in grid_descs}
+        param_seed = {k: ctx.key_to_array_jac[k] for k in param_keys}
+        return names, values, seed, param_seed
+
+    def eval_operator_grad(self, state):
+        """Evaluates residuals and their gradients w.r.t. stencil samples.
+
+        Returns (values, grads, names) where grads[i] maps descriptors
+        (key, shift, loc) to the gradient array of sum(values[i]) w.r.t.
+        that sample, and (key, None, None) to full-Jacobian blocks for
+        Array/NeuralNet unknowns.  Native JAX (the reference supports this
+        for TF only, ``src/odil/core.py:1363``)."""
+        if not state.initialized:
+            raise RuntimeError("Uninitialized state, use `state = domain.init_state(state)`")
+        self._capture_structure(state)
+        names, _, grid_seed, param_seed = self._discover_descriptors(state)
+
+        def replay(grid_bindings, param_bindings):
+            bindings = dict(grid_bindings)
+            bindings.update(param_bindings)
+            ctx = Context(
+                self.domain,
+                state,
+                extra=self.extra,
+                tracers=self.tracers,
+                distinct_shift=True,
+                bindings=bindings,
+            )
+            _, values = self._run_operator(ctx)
+            for v in values:
+                assert not isinstance(v, Context.Raw), "Raw terms are not supported by Newton"
+            return values
+
+        nterms = len(names)
+
+        def compute(grid_seed, param_seed):
+            values = replay(grid_seed, param_seed)
+            grads = []
+            for i in range(nterms):
+                gsum = jax.grad(lambda gb: sum_all(replay(gb, param_seed)[i]))(grid_seed)
+                entry = dict(gsum)
+                if param_seed:
+                    jac = jax.jacrev(lambda pb: replay(grid_seed, pb)[i])(param_seed)
+                    for key, blocks in jac.items():
+                        entry[key] = blocks
+                grads.append(entry)
+            return values, grads
+
+        def sum_all(x):
+            return self.domain.mod.sum(x)
+
+        values, grads = (jax.jit(compute) if self.jit else compute)(grid_seed, param_seed)
+        return values, grads, names
+
+    def linearize(self, state, modsp=None):
+        """Assembles V0 and the global sparse Jacobian M of the operator:
+            operator(V) ~= M @ (V - V0) + operator(V0)
+        over the flattened state vector.  Host-side scipy assembly; the
+        gradient arrays themselves come from the device."""
+        if not state.initialized:
+            raise RuntimeError("Uninitialized state, use `state = domain.init_state(state)`")
+        if modsp is None:
+            import scipy.sparse as modsp
+
+        domain = self.domain
+        values, grads, names = self.eval_operator_grad(state)
+        values = [np.asarray(v) for v in values]
+
+        # Flat-vector offsets per unknown key, in pack order.
+        key_to_offset, key_to_size = dict(), dict()
+        offset = 0
+        for key, field in state.fields.items():
+            size = sum(math.prod(a.shape) for a in field_arrays(field))
+            key_to_offset[key] = offset
+            key_to_size[key] = size
+            offset += size
+        size_all = offset
+
+        def stencil_columns(key, shift, loc, field):
+            """Column indices for a shifted/retargeted grid sample, built by
+            transporting the flat index grid along the same pad/roll/trim
+            path as the sample itself.  Padded entries get -1 (no unknown)."""
+            cols = key_to_offset[key] + np.arange(key_to_size[key]).reshape(field.array.shape)
+            pad_width = [(1, 0) if (lf == "c" and l == "n") else (0, 0) for lf, l in zip(field.loc, loc)]
+            if any(w != (0, 0) for w in pad_width):
+                cols = np.pad(cols, pad_width, mode="constant", constant_values=-1)
+            if any(shift):
+                cols = np.roll(cols, [-s for s in shift], range(domain.ndim))
+            trim = [slice(0, -1) if (lf == "n" and l == "c") else slice(None) for lf, l in zip(field.loc, loc)]
+            cols = cols[tuple(trim)]
+            return cols
+
+        matrices, vectors = [], []
+        for name, value, grad in zip(names, values, grads):
+            nrows = math.prod(value.shape)
+            mshape = (nrows, size_all)
+            matrix = modsp.csr_matrix(mshape, dtype=domain.dtype)
+            for desc, garray in grad.items():
+                key, shift, loc = desc
+                if garray is None:
+                    continue
+                field = state.fields[key]
+                if shift is None:
+                    # Array / NeuralNet unknowns: dense Jacobian blocks.
+                    blocks = garray if isinstance(garray, (list, tuple)) else [garray]
+                    dense = np.concatenate(
+                        [np.asarray(b).reshape(nrows, -1) for b in blocks], axis=1
+                    )
+                    m = modsp.csr_matrix(dense)
+                    m = modsp.csr_matrix(
+                        (m.data, m.indices + key_to_offset[key], m.indptr), shape=mshape
+                    )
+                    matrix = matrix + m
+                    continue
+                if not isinstance(field, Field):
+                    raise TypeError(f"Expected Field, got {type(field).__name__} for '{key}'")
+                garray = np.asarray(garray)
+                if not np.any(garray):
+                    continue
+                cols = stencil_columns(key, shift, loc, field)
+                if garray.shape == value.shape:
+                    rows = np.arange(nrows)
+                elif value.shape == ():
+                    rows = np.zeros(cols.size, dtype=int)
+                else:
+                    raise ValueError(
+                        f"Residual '{name}' shape {value.shape} incompatible with "
+                        f"sample shape {garray.shape}; Newton requires pointwise terms"
+                    )
+                cols = cols.reshape(-1)
+                data = garray.reshape(-1)
+                valid = cols >= 0
+                m = modsp.csr_matrix(
+                    (data[valid], (np.asarray(rows).reshape(-1)[valid], cols[valid])),
+                    shape=mshape,
+                    dtype=domain.dtype,
+                )
+                matrix = matrix + m
+            matrices.append(matrix)
+            vectors.append(value.reshape(-1))
+
+        return np.concatenate(vectors, axis=0), modsp.vstack(matrices).tocsr()
+
+    # -- Matrix-free products (Gauss-Newton) --------------------------------
+
+    def residual_fn(self, state):
+        """Returns (f, x0): f(packed) -> concatenated residual vector as a
+        pure jittable function of the packed unknown vector; x0 the current
+        packed state.  The Jacobian-vector products jvp/vjp of f are the
+        matrix-free substitutes for `linearize` (SURVEY.md §7)."""
+        self._capture_structure(state)
+        domain = self.domain
+        arrays0 = domain.arrays_from_state(state)
+        shapes = [tuple(a.shape) for a in arrays0]
+        sizes = [math.prod(s) for s in shapes]
+        bounds = np.cumsum(sizes)[:-1]
+        mod = domain.mod
+
+        def unpack(x):
+            parts = mod.xp.split(x, bounds)
+            return [mod.reshape(p, s) for p, s in zip(parts, shapes)]
+
+        def f(x):
+            arrays = unpack(x)
+            st = self.state_from_arrays(arrays)
+            ctx = Context(domain, st, extra=self.extra, tracers=self.tracers)
+            _, values = self._run_operator(ctx)
+            values = [v.value if isinstance(v, Context.Raw) else v for v in values]
+            return mod.concatenate([mod.flatten(v) for v in values], axis=0)
+
+        x0 = mod.concatenate([mod.flatten(a) for a in arrays0], axis=0)
+        return f, x0
+
+    def get_context(self, state):
+        return Context(self.domain, state, extra=self.extra, tracers=self.tracers)

@@ -1,0 +1,98 @@
+"""Runtime configuration: backend, dtype, JIT, and device selection.
+
+TPU-native counterpart of the reference runtime (``src/odil/runtime.py:1-83``).
+Differences by design:
+
+- JAX is the only compute backend (the reference prefers TensorFlow and
+  forces single-threaded CPU execution unless ``ODIL_MT=1``); here we never
+  restrict parallelism -- XLA owns the machine.
+- JIT defaults to **on** (``ODIL_JIT=0`` to disable); the reference defaults
+  to off (``src/odil/runtime.py:25``).
+- ``jax_enable_x64`` is only switched on when float64 is actually requested,
+  since fp64 is emulated on TPU.
+
+Environment variables (kept compatible with the reference):
+
+- ``ODIL_BACKEND``: ``jax`` (default) or ``numpy`` (host-only mode for
+  post-processing without a device runtime).
+- ``ODIL_DTYPE``: ``float32`` (default) or ``float64``.
+- ``ODIL_JIT``: enable jit compilation (default 1).
+- ``ODIL_WARN``: keep warnings (default 0 silences them).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+__all__ = [
+    "mod",
+    "dtype",
+    "dtype_name",
+    "backend_name",
+    "enable_jit",
+    "enable_gpu",
+    "jax",
+    "tf",
+    "ensure_x64",
+    "set_dtype",
+]
+
+if not int(os.environ.get("ODIL_WARN", 0)):
+    import warnings
+
+    warnings.simplefilter(action="ignore", category=FutureWarning)
+
+enable_jit = bool(int(os.environ.get("ODIL_JIT", 1)))
+
+backend_name = os.environ.get("ODIL_BACKEND", "") or "jax"
+
+# Kept for compatibility with scripts that check `runtime.enable_gpu`.
+enable_gpu = os.environ.get("CUDA_VISIBLE_DEVICES", "") not in ["", "-1"]
+
+tf = None  # The TensorFlow backend is intentionally not supported.
+
+dtype_name = os.environ.get("ODIL_DTYPE", "float32")
+if dtype_name not in ("float32", "float64"):
+    sys.stderr.write(f"Expected ODIL_DTYPE=float32 or float64, got '{dtype_name}'\n")
+    sys.exit(1)
+
+if backend_name == "jax":
+    import jax
+
+    if dtype_name == "float64":
+        jax.config.update("jax_enable_x64", True)
+
+    from .backend import ModJax
+
+    mod = ModJax()
+elif backend_name == "numpy":
+    jax = None
+    from .backend import ModNumpy
+
+    mod = ModNumpy()
+else:
+    sys.stderr.write(f"Unknown ODIL_BACKEND='{backend_name}', options are: jax, numpy\n")
+    sys.exit(1)
+
+dtype = np.dtype(dtype_name)
+
+
+def ensure_x64():
+    """Enables 64-bit support in JAX if not already active.
+
+    Safe to call at any point; arrays created before the switch keep their
+    dtype.  Called by ``Domain`` when a float64 grid is requested.
+    """
+    if jax is not None and not jax.config.jax_enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def set_dtype(name):
+    """Sets the global default dtype ('float32' or 'float64')."""
+    global dtype, dtype_name
+    assert name in ("float32", "float64"), name
+    dtype_name = name
+    dtype = np.dtype(name)
+    if name == "float64":
+        ensure_x64()

@@ -1,0 +1,149 @@
+"""Multigrid transfer operators: prolongation and restriction.
+
+Behavioral spec from the reference (``src/odil/core.py:606-755``):
+
+- ``interp_to_finer``: coarse -> fine.  Per axis: 'n' (node) doubles
+  resolution with the [1,2,1]/2 kernel, 'c' (cell) with the [1,3,3,1]/4
+  kernel after padding one ghost value by *linear extrapolation*, '.' leaves
+  the axis untouched.  Exact on linear fields (reference
+  ``tests/test_mg_interp.py``).
+- ``restrict_to_coarser``: fine -> coarse.  Per axis: 'n' applies full
+  weighting [1,2,1]/4 with linear-extrapolation ghosts (which makes the
+  boundary nodes an exact identity), 'c' averages cell pairs [1,1]/2.
+  Exact on linear fields even with discontinuous boundary values
+  (reference ``tests/test_mg_restrict.py``).
+
+Implementation here is deliberately different from the reference: the
+tensor-product kernels are *separable*, so we apply cheap 1-D roll-free
+slice arithmetic per axis instead of N-D (transposed) convolutions.  This
+is exact to rounding, works for any ndim (the reference's conv path stops
+at 3), and compiles to fully fused elementwise XLA ops on TPU.
+
+Both ``method='stack'`` and ``method='conv'`` names are accepted for
+compatibility and run the same separable algorithm.
+"""
+
+__all__ = ["interp_to_finer", "restrict_to_coarser"]
+
+_METHODS = (None, "stack", "conv")
+
+
+def _axslice(ndim, axis, sl):
+    """Index tuple selecting slice `sl` along `axis`."""
+    out = [slice(None)] * ndim
+    out[axis] = sl
+    return tuple(out)
+
+
+def _interleave(a, b, axis, xp):
+    """Interleaves two equally-shaped arrays along `axis`:
+    out[..., 2i, ...] = a[..., i, ...], out[..., 2i+1, ...] = b[..., i, ...]."""
+    stacked = xp.stack([a, b], axis=axis + 1)
+    shape = list(a.shape)
+    shape[axis] = 2 * shape[axis]
+    return xp.reshape(stacked, shape)
+
+
+def _pad_linear(u, axis, xp):
+    """Appends one ghost entry on each side of `axis` by linear extrapolation."""
+    nd = u.ndim
+    left = 2 * u[_axslice(nd, axis, slice(0, 1))] - u[_axslice(nd, axis, slice(1, 2))]
+    right = 2 * u[_axslice(nd, axis, slice(-1, None))] - u[_axslice(nd, axis, slice(-2, -1))]
+    return xp.concatenate([left, u, right], axis=axis)
+
+
+def _interp_axis(u, axis, loc, xp):
+    nd = u.ndim
+    if loc == ".":
+        return u
+    if loc == "n":
+        # Fine nodes: even coincide with coarse, odd are midpoints.
+        head = u[_axslice(nd, axis, slice(0, -1))]
+        tail = u[_axslice(nd, axis, slice(1, None))]
+        mids = (head + tail) * 0.5
+        fine = _interleave(head, mids, axis, xp)
+        return xp.concatenate([fine, u[_axslice(nd, axis, slice(-1, None))]], axis=axis)
+    if loc == "c":
+        # Fine cell 2i sits at coarse offset -1/4, fine cell 2i+1 at +1/4:
+        #   fine[2i]   = (u[i-1] + 3 u[i]) / 4
+        #   fine[2i+1] = (3 u[i] + u[i+1]) / 4
+        # with ghost values from linear extrapolation.
+        p = _pad_linear(u, axis, xp)
+        lo = p[_axslice(nd, axis, slice(0, -2))]
+        mid = p[_axslice(nd, axis, slice(1, -1))]
+        hi = p[_axslice(nd, axis, slice(2, None))]
+        return _interleave((lo + 3 * mid) * 0.25, (3 * mid + hi) * 0.25, axis, xp)
+    raise ValueError(f"Invalid loc character '{loc}'")
+
+
+def _restrict_axis(u, axis, loc, xp):
+    nd = u.ndim
+    n = u.shape[axis]
+    if loc == ".":
+        return u
+    if loc == "c":
+        # Pairwise average; coarse size n // 2.
+        even = u[_axslice(nd, axis, slice(0, 2 * (n // 2), 2))]
+        odd = u[_axslice(nd, axis, slice(1, 2 * (n // 2), 2))]
+        return (even + odd) * 0.5
+    if loc == "n":
+        # Full weighting with linear-extrapolation ghosts; identity on the
+        # boundary nodes: coarse[0] = ((2u0-u1) + 2 u0 + u1)/4 = u0.
+        p = _pad_linear(u, axis, xp)
+        a = p[_axslice(nd, axis, slice(0, n, 2))]
+        b = p[_axslice(nd, axis, slice(1, n + 1, 2))]
+        c = p[_axslice(nd, axis, slice(2, n + 2, 2))]
+        return (a + 2 * b + c) * 0.25
+    raise ValueError(f"Invalid loc character '{loc}'")
+
+
+def _resolve_xp(mod):
+    if mod is not None and hasattr(mod, "xp"):
+        return mod.xp
+    if mod is not None:
+        return mod
+    import jax.numpy as jnp
+
+    return jnp
+
+
+def interp_to_finer(u, loc=None, method=None, mod=None, depth=1):
+    """Interpolates a field to a grid refined 2x along each active axis.
+
+    u: input array.
+    loc: one character per axis -- 'c' (cell, size n -> 2n),
+         'n' (node, size n -> 2(n-1)+1), '.' (inactive, unchanged).
+    method: 'stack' or 'conv' (same separable algorithm; kept for CLI parity).
+    depth: number of refinement applications.
+    """
+    if method not in _METHODS:
+        raise ValueError(f"Unknown method='{method}'")
+    xp = _resolve_xp(mod)
+    loc = loc or "c" * u.ndim
+    if len(loc) != u.ndim:
+        raise ValueError(f"Expected len(loc)=={u.ndim}, got loc='{loc}'")
+    for _ in range(depth):
+        for axis, l in enumerate(loc):
+            u = _interp_axis(u, axis, l, xp)
+    return u
+
+
+def restrict_to_coarser(u, loc=None, method=None, mod=None, depth=1):
+    """Restricts a field to a grid coarsened 2x along each active axis.
+
+    u: input array.
+    loc: one character per axis -- 'c' (cell, size n -> n//2),
+         'n' (node, size n -> (n-1)//2 + 1), '.' (inactive, unchanged).
+    method: only 'conv' semantics exist; name accepted for parity.
+    depth: number of coarsening applications.
+    """
+    if method not in _METHODS:
+        raise ValueError(f"Unknown method='{method}'")
+    xp = _resolve_xp(mod)
+    loc = loc or "c" * u.ndim
+    if len(loc) != u.ndim:
+        raise ValueError(f"Expected len(loc)=={u.ndim}, got loc='{loc}'")
+    for _ in range(depth):
+        for axis, l in enumerate(loc):
+            u = _restrict_axis(u, axis, l, xp)
+    return u

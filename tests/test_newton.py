@@ -1,0 +1,180 @@
+"""Newton linearization: one exact step on a linear problem.
+
+Mirrors reference `tests/test_newton.py` (RMS < 1e-6 after a single
+linearize + normal-equations solve), covering staggered-location conversion
+with shift, masked boundary rows, an Array with full Jacobian, and a linear
+NeuralNet.  The reference skips this test for JAX (`test_newton.py:116-118`);
+here it runs natively.  Also validates the matrix-free Gauss-Newton step
+against the same fixture.
+"""
+
+import argparse
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import odil_tpu as odil
+
+
+def operator(ctx):
+    mod = ctx.mod
+    extra = ctx.extra
+    args = extra.args
+    res = []
+
+    # Face values read at cells: derivative equation.
+    u_xm = ctx.field("ufx", 0, 0, loc="cc")
+    u_xp = ctx.field("ufx", 1, 0, loc="cc")
+    hx = ctx.step("x")
+    res += [(u_xp - u_xm) / hx - extra.ref["dudx"]]
+
+    # Boundary rows at x=0, masked elsewhere.
+    ufx = ctx.field("ufx")
+    ixfx = ctx.indices("x", loc="nc")
+    mask = mod.where(ixfx == 0, ctx.cast(1), ctx.cast(0))
+    res += [(ufx - extra.ref["ufx"]) * mask]
+
+    # Cell average of the two faces.
+    uc = ctx.field("uc")
+    res += [(u_xp + u_xm) * 0.5 - uc]
+
+    # Non-grid array: full Jacobian.
+    a = ctx.field("a")
+    res += [a - extra.ref["a"]]
+
+    # Linear neural network.
+    net_out = ctx.neural_net("net")(*extra.ref["net_in"])
+    for i in range(args.Nnet):
+        res += [(f"net{i}", net_out[i] - extra.ref["net_out"][i])]
+    return res
+
+
+def make_problem(Nx=3, Ny=2, Na=5, Nnet=5, seed=1000):
+    np.random.seed(seed)
+    odil.runtime.mod.random.set_seed(seed)
+    domain = odil.Domain(
+        cshape=(Nx, Ny),
+        dimnames=["x", "y"],
+        lower=(0, 0),
+        upper=(Nx, Ny),
+        dtype=np.float64,
+    )
+    dtype = domain.dtype
+    state = odil.State(
+        fields={
+            "uc": odil.Field(np.ones(domain.size(loc="cc")), loc="cc"),
+            "ufx": odil.Field(np.ones(domain.size(loc="nc")), loc="nc"),
+            "a": odil.Array(np.zeros(Na, dtype=dtype)),
+            "net": domain.make_neural_net([Nnet, Nnet], activation="none"),
+        }
+    )
+    state = domain.init_state(state)
+
+    def func(x, y):
+        return 0.25 * x * y
+
+    def func_x(x, y):
+        return 0.25 * y
+
+    extra = argparse.Namespace()
+    xc, yc = map(np.asarray, domain.points(loc="cc"))
+    xfx, yfx = map(np.asarray, domain.points(loc="nc"))
+    extra.ref = {
+        "uc": func(xc, yc),
+        "ufx": func(xfx, yfx),
+        "dudx": func_x(xc, yc),
+        "a": np.linspace(0, 1, Na, dtype=dtype),
+        "net_in": np.random.rand(Nnet, Nnet + 1),
+        "net_out": np.random.rand(Nnet, Nnet + 1),
+    }
+    extra.args = argparse.Namespace(Nnet=Nnet)
+    problem = odil.Problem(operator, domain, extra)
+    return problem, state
+
+
+def check_state(problem, state, tol=1e-6):
+    domain = problem.domain
+    extra = problem.extra
+    errors = {}
+    for key in ["ufx", "uc", "a"]:
+        value = np.asarray(domain.field(state, key))
+        errors[key] = np.sqrt(np.mean(np.square(value - extra.ref[key])))
+    net_out = domain.neural_net(state, "net")(*extra.ref["net_in"])
+    errors["net_out"] = np.sqrt(np.mean(np.square(np.asarray(net_out) - extra.ref["net_out"])))
+    for key, err in errors.items():
+        assert err < tol, f"{key}: {err}"
+
+
+def test_one_newton_step_exact():
+    problem, state = make_problem()
+    domain = problem.domain
+    vector, matrix = problem.linearize(state)
+    vector = np.asarray(vector)
+    delta = sp.linalg.spsolve((matrix.T @ matrix).tocsc(), -matrix.T @ vector)
+    packed = np.asarray(domain.pack_state(state))
+    domain.unpack_state(domain.mod.cast(packed + delta, domain.dtype), state)
+    check_state(problem, state)
+
+
+def test_gauss_newton_matrix_free_exact():
+    import jax
+
+    problem, state = make_problem()
+    domain = problem.domain
+    from odil_tpu.newton import gauss_newton_step
+
+    f, x = problem.residual_fn(state)
+    x, info = jax.jit(lambda x: gauss_newton_step(f, x, damp=0.0, tol=1e-14, maxiter=500))(x)
+    domain.unpack_state(x, state)
+    check_state(problem, state)
+
+
+def test_eval_operator_grad_consistency():
+    """Jacobian-vector products of the assembled matrix must match jvp of
+    the residual function."""
+    import jax
+
+    problem, state = make_problem()
+    _, matrix = problem.linearize(state)
+    f, x0 = problem.residual_fn(state)
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=x0.shape)
+    jv_matrix = matrix @ v
+    jv_ad = np.asarray(jax.jvp(f, (x0,), (problem.domain.mod.cast(v, problem.domain.dtype),))[1])
+    np.testing.assert_allclose(jv_matrix, jv_ad, rtol=1e-9, atol=1e-9)
+
+
+def test_optimize_newton_driver():
+    problem, state = make_problem()
+    args = argparse.Namespace(
+        epochs=1,
+        epoch_start=0,
+        linsolver="direct",
+        linsolver_maxiter=None,
+        linsolver_tol=1e-12,
+        linsolver_damp=0,
+        linsolver_dampdiag=0,
+        linsolver_verbose=0,
+        linsolver_history=0,
+    )
+    odil.util.optimize_newton(args, problem, state)
+    check_state(problem, state, tol=1e-6)
+
+
+@pytest.mark.parametrize("linsolver", ["lsqr", "multigrid", "bicgstab"])
+def test_linsolver_menu(linsolver):
+    problem, state = make_problem()
+    args = argparse.Namespace(
+        epochs=1,
+        epoch_start=0,
+        linsolver=linsolver,
+        linsolver_maxiter=2000,
+        linsolver_tol=1e-12,
+        linsolver_damp=0,
+        linsolver_dampdiag=0,
+        linsolver_verbose=0,
+        linsolver_history=0,
+    )
+    odil.util.optimize_newton(args, problem, state)
+    check_state(problem, state, tol=1e-5)
