@@ -1,0 +1,218 @@
+#!/usr/bin/env python3
+"""Poisson source inversion in an N-dimensional cube (ndim 1..6) with zero
+Dirichlet boundary conditions.
+
+Workload parity with the reference example ``examples/poisson/poisson.py``:
+same CLI, same discretization (central 5/7/9...-point Laplacian with
+quadratic-half ghost extrapolation to the boundary value), same reference
+solutions ('hat', 'osc'), optional multigrid-norm loss (--mgloss) and
+XMF dumps.
+"""
+
+import argparse
+import pickle
+
+import numpy as np
+
+import odil_tpu as odil
+from odil_tpu import printlog
+from odil_tpu.core import extrap_quadh, restrict_to_coarser, struct_to_numpy
+
+
+def reference_solution(name, args, domain):
+    pts = domain.points()
+    pts = pts if isinstance(pts, tuple) else (pts,)
+    pts = [np.asarray(p) for p in pts]
+    if name == "hat":
+        p = 5
+        u = np.prod([(1 - x) * x * 5 for x in pts], axis=0)
+        return (u**p / (1 + u**p)) ** (1 / p)
+    if name == "osc":
+        k = args.osc_k
+        x, y = pts
+        return np.sin(np.pi * (k * x) ** 2) * np.sin(np.pi * y)
+    raise ValueError("Unknown ref=" + name)
+
+
+def reference_rhs(name, args, domain):
+    if name != "osc":
+        raise ValueError("Exact rhs only available for ref='osc'")
+    pts = domain.points()
+    x, y = [np.asarray(p) for p in pts]
+    pi, k = np.pi, args.osc_k
+    fu = ((-4 * k**4 * pi**2 * x**2 - pi**2) * np.sin(k**2 * pi * x**2)
+          + 2 * k**2 * pi * np.cos(k**2 * pi * x**2)) * np.sin(pi * y)
+    return fu
+
+
+def laplacian_dirichlet(center, minus, plus, steps, indices, sizes, mod):
+    """Discrete Laplacian with zero-Dirichlet ghost cells.
+
+    minus/plus: lists of the shifted fields per axis; ghost values outside
+    the boundary are overwritten by quadratic extrapolation through u=0 at
+    the wall (the roll wraparound is masked here)."""
+    zero = mod.cast(0, center.dtype)
+    lap = 0
+    for d, (um, up) in enumerate(zip(minus, plus)):
+        um = mod.where(indices[d] == 0, extrap_quadh(up, center, zero), um)
+        up = mod.where(indices[d] == sizes[d] - 1, extrap_quadh(um, center, zero), up)
+        lap = lap + (up - 2 * center + um) / steps[d] ** 2
+    return lap
+
+
+def discrete_rhs(u, domain, mod):
+    """RHS consistent with the discretization: Laplacian of the reference."""
+    ndim = domain.ndim
+    steps = [domain.step_by_dim(d) for d in range(ndim)]
+    indices = domain.indices()
+    indices = indices if isinstance(indices, tuple) else (indices,)
+    sizes = [domain.size(d) for d in range(ndim)]
+    center = mod.cast(u, domain.dtype)
+    minus = [mod.roll(center, 1, d) for d in range(ndim)]
+    plus = [mod.roll(center, -1, d) for d in range(ndim)]
+    return laplacian_dirichlet(center, minus, plus, steps, indices, sizes, mod)
+
+
+def operator(ctx):
+    domain = ctx.domain
+    mod = domain.mod
+    args = ctx.extra.args
+    ndim = domain.ndim
+    steps = [domain.step_by_dim(d) for d in range(ndim)]
+    indices = ctx.indices()
+    indices = indices if isinstance(indices, tuple) else (indices,)
+    sizes = [ctx.size(d) for d in range(ndim)]
+
+    center = ctx.field("u")
+    minus = [ctx.field("u", *[-(d == j) for j in range(ndim)]) for d in range(ndim)]
+    plus = [ctx.field("u", *[+(d == j) for j in range(ndim)]) for d in range(ndim)]
+
+    fu = laplacian_dirichlet(center, minus, plus, steps, indices, sizes, mod) - ctx.extra.rhs
+    res = [fu]
+    # Multigrid-norm loss: append the residual restricted to coarser grids.
+    for _ in range(args.mgloss):
+        fu = restrict_to_coarser(fu, loc="c" * ndim, mod=mod)
+        res.append(fu)
+    return res
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--ndim", type=int, choices=range(1, 7), default=2, help="Space dimension")
+    parser.add_argument("--N", type=int, default=32, help="Grid size")
+    parser.add_argument("--cellbased", type=int, default=1, help="Cell-based fields")
+    parser.add_argument("--dump_xmf", type=int, default=0, help="Dump XMF+RAW files")
+    parser.add_argument("--plot", type=int, default=0, help="Enable plotting")
+    parser.add_argument("--ref", type=str, default="hat", choices=("hat", "osc"))
+    parser.add_argument("--rhs", type=str, default="discrete", choices=("discrete", "exact"))
+    parser.add_argument("--osc_k", type=float, default=2, help="Parameter for ref='osc'")
+    parser.add_argument("--mgloss", type=int, default=0, help="Multigrid-norm loss terms")
+    odil.util.add_arguments(parser)
+    odil.linsolver.add_arguments(parser)
+    parser.set_defaults(
+        frames=4,
+        report_every=100,
+        history_every=10,
+        plot_every=100,
+        history_full=50,
+        optimizer="adam",
+        multigrid=1,
+        lr=0.005,
+        double=1,
+        outdir="out_poisson",
+    )
+    return parser.parse_args(argv)
+
+
+def dump_field(u, name, path, domain, cellbased):
+    axes = tuple(reversed(range(domain.ndim)))
+    steps = [domain.step_by_dim(d) for d in range(domain.ndim)]
+    odil.write_raw_with_xmf(np.transpose(np.asarray(u), axes), path, spacing=steps, name=name, cell=cellbased)
+
+
+def plot_func(problem, state, epoch, frame, cbinfo):
+    domain = problem.domain
+    extra = problem.extra
+    args = extra.args
+    if args.frames == 0 and frame is not None:
+        return
+    suff = "" if frame is None else f"_{frame:05d}"
+    paths = []
+    if args.dump_xmf and domain.ndim in (2, 3):
+        path = f"u{suff}.xdmf2"
+        dump_field(domain.field(state, "u"), "u", path, domain, args.cellbased)
+        paths.append(path)
+    if args.dump_data:
+        path = f"data{suff}.pickle"
+        payload = struct_to_numpy(
+            domain.mod,
+            dict(
+                x=domain.points(),
+                u=domain.field(state, "u"),
+                ref_u=extra.ref_u,
+                rhs=extra.rhs,
+            ),
+        )
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+        paths.append(path)
+    printlog(" ".join(paths))
+
+
+def field_error(domain, extra, state, key):
+    du = np.asarray(domain.field(state, key)) - extra.ref_u
+    return float(np.sqrt(np.mean(du**2)))
+
+
+def history_func(problem, state, epoch, history, cbinfo):
+    for key in state.fields:
+        history.append("error_" + key, field_error(problem.domain, problem.extra, state, key))
+
+
+def report_func(problem, state, epoch, cbinfo):
+    errs = {k: field_error(problem.domain, problem.extra, state, k) for k in state.fields}
+    printlog("error: " + ", ".join(f"{k}:{v:.5g}" for k, v in errs.items()))
+
+
+def make_problem(args):
+    dtype = np.float64 if args.double else np.float32
+    ndim = args.ndim
+    domain = odil.Domain(
+        cshape=[args.N] * ndim,
+        dimnames=["x", "y", "z", "sx", "sy", "sz"][:ndim],
+        multigrid=args.multigrid,
+        dtype=dtype,
+    )
+    if domain.multigrid:
+        printlog("multigrid levels:", domain.mg_cshapes)
+    mod = domain.mod
+
+    ref_u = reference_solution(args.ref, args, domain)
+    if args.rhs == "discrete":
+        rhs = discrete_rhs(ref_u, domain, mod)
+    else:
+        rhs = reference_rhs(args.ref, args, domain)
+
+    state = domain.init_state(odil.State(fields={"u": None}))
+
+    extra = argparse.Namespace(ref_u=ref_u, rhs=mod.cast(rhs, domain.dtype), args=args)
+    if args.plot:
+        dump_field(ref_u, "u", "ref_u.xdmf2", domain, args.cellbased)
+        dump_field(rhs, "rhs", "rhs.xdmf2", domain, args.cellbased)
+    return odil.Problem(operator, domain, extra), state
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    odil.setup_outdir(args)
+    problem, state = make_problem(args)
+    callback = odil.make_callback(
+        problem, args, plot_func=plot_func, history_func=history_func, report_func=report_func
+    )
+    odil.util.optimize(args, args.optimizer, problem, state, callback)
+    plot_func(problem, state, 0, None, None)
+    return problem, state
+
+
+if __name__ == "__main__":
+    main()

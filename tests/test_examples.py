@@ -1,0 +1,54 @@
+"""Smoke tests: every example workload builds its problem and trains a few
+epochs with decreasing loss."""
+
+import importlib
+import os
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CASES = [
+    ("poisson", "poisson", ["--N", "16", "--epochs", "60"]),
+    ("heat", "heat", ["--Nt", "16", "--Nx", "16", "--epochs", "40", "--infer_k", "1", "--imposed", "random", "--nimp", "20"]),
+    ("wave", "wave", ["--Nt", "16", "--Nx", "16", "--epochs", "40"]),
+    ("heat_tmax", "heat_tmax", ["--Nt", "16", "--Nx", "16", "--epochs", "60"]),
+    ("infer_constant", "infer_constant", ["--Nt", "16", "--Nx", "16", "--epochs", "60"]),
+    ("velocity_from_tracer", "veltracer", ["--Nx", "16", "--epochs", "40"]),
+    ("basic", "fields", ["--epochs", "60"]),
+]
+
+COMMON = ["--report_every", "1000000", "--history_every", "20", "--plot_every", "1000000", "--frames", "0", "--echo", "0"]
+
+
+def run_example(subdir, module_name, argv):
+    path = os.path.join(ROOT, "examples", subdir)
+    sys.path.insert(0, path)
+    cwd = os.getcwd()
+    try:
+        module = importlib.import_module(module_name)
+        out = tempfile.mkdtemp()
+        problem, state = module.main(argv + COMMON + ["--outdir", out])
+        return problem, state, out
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(path)
+
+
+@pytest.mark.parametrize("subdir,module_name,argv", CASES, ids=[c[1] for c in CASES])
+def test_example_trains(subdir, module_name, argv):
+    problem, state, out = run_example(subdir, module_name, argv)
+    # Loss must decrease from the start of training.
+    csv = os.path.join(out, "train.csv")
+    assert os.path.isfile(csv)
+    with open(csv) as f:
+        header = f.readline().strip().split(",")
+        rows = [line.strip().split(",") for line in f if line.strip()]
+    icol = header.index("loss")
+    losses = [float(r[icol]) for r in rows]
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]} -> {losses[-1]}"
+    assert np.isfinite(losses[-1])

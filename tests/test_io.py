@@ -1,0 +1,115 @@
+"""I/O round trips: XMF+RAW volumetric fields, VTK polydata, History CSV,
+checkpoint save/load, file cache."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import odil_tpu as odil
+
+
+@pytest.mark.parametrize("dtype", [np.float32, np.float64])
+def test_raw_xmf_roundtrip(dtype):
+    u = np.arange(2 * 3 * 4, dtype=dtype).reshape(2, 3, 4)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "field.xdmf2")
+        odil.write_raw_with_xmf(u, path, spacing=(0.5, 1.0, 2.0), name="phi", cell=True)
+        back, meta = odil.read_raw_with_xmf(path)
+        np.testing.assert_array_equal(back, u)
+        assert meta["name"] == "phi"
+        assert meta["cell"] is True
+        assert meta["count"] == (2, 3, 4)
+
+
+def test_raw_xmf_2d_promotion():
+    u = np.random.rand(3, 4).astype(np.float64)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "f.xdmf2")
+        odil.write_raw_with_xmf(u, path, spacing=(1, 1), name="u")
+        back, meta = odil.read_raw_with_xmf(path)
+        np.testing.assert_array_equal(back[0], u)
+
+
+def test_vtk_poly_ascii():
+    points = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], dtype=float)
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "poly.vtk")
+        odil.write_vtk_poly(
+            path,
+            points,
+            polygons=[[0, 1, 2]],
+            point_fields={"val": np.array([1.0, 2.0, 3.0])},
+            cell_fields={"cid": np.array([7.0])},
+        )
+        text = open(path, "rb").read().decode()
+        assert "POLYDATA" in text
+        assert "SCALARS val float" in text
+        assert "SCALARS cid float" in text
+
+
+def test_history_csv(tmp_path):
+    os.chdir(tmp_path)
+    h = odil.History(csvpath="h.csv", warmup=1)
+    h.append("epoch", 0)
+    h.append("loss", 1.0)
+    h.write()
+    h.append("epoch", 1)
+    h.append("loss", 0.5)
+    h.append("extra", 3.0)  # Late column joins during warmup.
+    h.write()
+    h.append("epoch", 2)
+    h.append("loss", 0.25)
+    h.append("extra", 4.0)
+    h.write()
+    lines = open("h.csv").read().strip().split("\n")
+    assert lines[0] == "epoch,loss,extra"
+    assert len(lines) == 4  # header + 3 rows
+    # Resume via pickle.
+    h.save("h.pickle")
+    h2 = odil.History()
+    h2.load("h.pickle")
+    assert h2.get("epoch")[-1] == 2
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    domain = odil.Domain(cshape=(4, 4), dimnames=["x", "y"], multigrid=True, mg_convert_all=False)
+    state = domain.init_state(
+        odil.State(
+            fields={
+                "u": np.random.rand(4, 4),
+                "mg": domain.regular_to_multigrid(np.random.rand(4, 4)),
+                "net": domain.make_neural_net([2, 3, 1]),
+                "a": [1.0, 2.0],
+            }
+        )
+    )
+    path = str(tmp_path / "ckpt.pickle")
+    odil.core.checkpoint_save(domain, state, path, optstate={"m": [np.zeros(3)]})
+    state2 = domain.init_state(
+        odil.State(
+            fields={
+                "u": None,
+                "mg": domain.regular_to_multigrid(np.zeros((4, 4))),
+                "net": domain.make_neural_net([2, 3, 1]),
+                "a": [0.0, 0.0],
+            }
+        )
+    )
+    opt = odil.core.checkpoint_load(domain, state2, path)
+    np.testing.assert_allclose(np.asarray(domain.pack_state(state2)), np.asarray(domain.pack_state(state)))
+    assert "m" in opt
+
+
+def test_cache_to_file(tmp_path):
+    calls = []
+
+    @odil.cache.cache_to_file(str(tmp_path / "c.pickle"))
+    def slow(x):
+        calls.append(x)
+        return x * 2
+
+    assert slow(3) == 6
+    assert slow(3) == 6
+    assert calls == [3]
