@@ -1,0 +1,129 @@
+#!/usr/bin/env python3
+"""Benchmark: residual+grad evals/sec on the flagship workload
+(velocity_from_tracer, Nt=64, Nx=Ny=256, fp32, multigrid conv, Adam).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference implementation (cselab/odil, TensorFlow backend,
+ODIL_JIT=1, its own canonical single-thread CPU environment) measured on
+this machine at the same configuration -- see BASELINE_EVALS_PER_SEC below
+for the provenance command.  The target from BASELINE.md is >= 10x.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# Reference throughput measured on this machine (epochs 10-20 steady state):
+#   PYTHONPATH=/root/reference/src ODIL_JIT=1 python \
+#     /root/reference/examples/velocity_from_tracer/veltracer.py \
+#     --Nt 64 --Nx 256 --Ny 256 --epochs 30 --report_every 10
+# -> train.log: "walltime/epoch: 18655 ms" (TF backend, jit_compile=True, the
+#    reference's own canonical single-thread CPU environment, fp32, multigrid
+#    conv).  See BENCH_NOTES.md.
+BASELINE_EVALS_PER_SEC = 1.0 / 18.655
+
+NT, NX, NY = 64, 256, 256
+WARMUP_EPOCHS = 20
+MEASURE_EPOCHS = 200
+
+
+def build():
+    import odil_tpu as odil
+
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "examples", "velocity_from_tracer")
+    )
+    import veltracer
+
+    args = veltracer.parse_args(["--Nt", str(NT), "--Nx", str(NX), "--Ny", str(NY)])
+    args.Nt, args.Ny = NT, NY
+    domain = odil.Domain(
+        cshape=(NT, NX, NY),
+        dimnames=("t", "x", "y"),
+        dtype=np.float32,
+        multigrid=True,
+        mg_interp="conv",
+    )
+    x, y = map(np.asarray, domain.points("x", "y", loc=".cc"))
+    state = odil.State()
+    for key in ("u", "vx", "vy"):
+        state.fields[key] = odil.Field(None, loc="ncc")
+    state = domain.init_state(state)
+    extra = argparse.Namespace(
+        u_init=domain.cast(veltracer.tracer_blob(x, y, 0)),
+        u_final=domain.cast(veltracer.tracer_blob(x, y, 1)),
+        args=args,
+    )
+    problem = odil.Problem(veltracer.operator_advection, domain, extra)
+    return problem, state
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--epochs", type=int, default=MEASURE_EPOCHS)
+    parser.add_argument("--warmup", type=int, default=WARMUP_EPOCHS)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    problem, state = build()
+    loss_fn, arrays = problem.make_loss_fn(state)
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-7
+
+    def epoch_step(carry, _):
+        x, m, v, t = carry
+        (loss, _), grads = grad_fn(x, {"epoch": t})
+        tt = (t + 1).astype(jnp.float32)
+        alpha = lr * jnp.sqrt(1 - b2**tt) / (1 - b1**tt)
+        m = [mi + (g - mi) * (1 - b1) for mi, g in zip(m, grads)]
+        v = [vi + (jnp.square(g) - vi) * (1 - b2) for vi, g in zip(v, grads)]
+        x = [xi - mi * alpha / (jnp.sqrt(vi) + eps) for xi, mi, vi in zip(x, m, v)]
+        return (x, m, v, t + 1), loss
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=1)
+    def run_chunk(carry, n):
+        return jax.lax.scan(epoch_step, carry, None, length=n)
+
+    x = [jnp.asarray(a) for a in arrays]
+    carry = (x, [jnp.zeros_like(a) for a in x], [jnp.zeros_like(a) for a in x], jnp.asarray(0, jnp.int32))
+
+    # Warmup (includes compile).
+    carry, losses = run_chunk(carry, args.warmup)
+    jax.block_until_ready(losses)
+
+    t0 = time.perf_counter()
+    carry, losses = run_chunk(carry, args.epochs)
+    jax.block_until_ready(losses)
+    elapsed = time.perf_counter() - t0
+
+    evals_per_sec = args.epochs / elapsed
+    cells = NT * NX * NY
+    mcells = cells * evals_per_sec / 1e6
+    final_loss = float(np.asarray(losses)[-1])
+    assert np.isfinite(final_loss)
+
+    print(
+        json.dumps(
+            {
+                "metric": "veltracer_256x256_residual_grad_evals_per_sec",
+                "value": round(evals_per_sec, 3),
+                "unit": "evals/s",
+                "vs_baseline": round(evals_per_sec / BASELINE_EVALS_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
