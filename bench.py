@@ -98,8 +98,8 @@ def main():
     x = [jnp.asarray(a) for a in arrays]
     carry = (x, [jnp.zeros_like(a) for a in x], [jnp.zeros_like(a) for a in x], jnp.asarray(0, jnp.int32))
 
-    # Warmup (includes compile).
-    carry, losses = run_chunk(carry, args.warmup)
+    # Warmup with the SAME chunk length so compile time is fully excluded.
+    carry, losses = run_chunk(carry, args.epochs)
     jax.block_until_ready(losses)
 
     t0 = time.perf_counter()

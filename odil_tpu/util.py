@@ -213,15 +213,27 @@ def optimize_grad(args, optname, problem, state, callback=None, **kwargs):
     task_epochs = None if every_epoch else compute_task_epochs(args, args.epoch_start, epochs)
     opt.bind(loss_fn, tracers=problem.tracers, task_epochs=task_epochs, names=names)
 
-    arrays, optinfo = opt.run(
-        arrays,
-        loss_grad=loss_grad,
-        epochs=epochs,
-        callback=callback_wrap if callback else None,
-        epoch_start=args.epoch_start,
-        lr=args.lr,
-        **kwargs,
-    )
+    profile_dir = getattr(args, "profile_dir", None)
+    if profile_dir:
+        import jax
+
+        jax.profiler.start_trace(profile_dir)
+    try:
+        arrays, optinfo = opt.run(
+            arrays,
+            loss_grad=loss_grad,
+            epochs=epochs,
+            callback=callback_wrap if callback else None,
+            epoch_start=args.epoch_start,
+            lr=args.lr,
+            **kwargs,
+        )
+    finally:
+        if profile_dir:
+            import jax
+
+            jax.profiler.stop_trace()
+            printlog(f"profiler trace written to {profile_dir}")
     domain.arrays_to_state(arrays, state)
     return arrays, optinfo
 
