@@ -12,6 +12,7 @@ stencil rolls into ICI halo exchanges.
 
 import argparse
 
+import jax
 import numpy as np
 
 import odil_tpu as odil
@@ -85,8 +86,71 @@ def operator_advection(ctx):
     return res
 
 
+def operator_advection_fused(ctx):
+    """Same discretization as operator_advection, evaluated through the fused
+    row-wise Pallas kernel (odil_tpu.ops): one pass over the state in VMEM,
+    recompute-based backward, loss terms returned as Context.Raw scalars."""
+    from odil_tpu.context import Context
+    from odil_tpu.ops import rowwise_loss_terms
+
+    mod = ctx.mod
+    extra = ctx.extra
+    args = extra.args
+    dt, dx, dy = ctx.step()
+    nt = ctx.size("t")
+    kimp, kxreg, ktreg = args.kimp, args.kxreg, args.ktreg
+    dt, dx, dy = float(dt), float(dx), float(dy)
+
+    u = ctx.field("u")
+    vx = ctx.field("vx")
+    vy = ctx.field("vy")
+
+    def row_fn(it, T, rows, consts):
+        (u_r, vx_r, vy_r) = rows
+        u0, u1 = consts
+        ucur, uprev = u_r
+        vxc, vxp = vx_r
+        vyc, vyp = vy_r
+
+        def upwind(um, uc, up, v):
+            return mod.where(v > 0, uc - um, mod.where(v < 0, up - uc, (up - um) * 0.5))
+
+        vxf = jax.lax.stop_gradient(vxc)
+        vyf = jax.lax.stop_gradient(vyc)
+        du_x = upwind(mod.roll(uprev, 1, 0), uprev, mod.roll(uprev, -1, 0), vxf)
+        du_y = upwind(mod.roll(uprev, 1, 1), uprev, mod.roll(uprev, -1, 1), vyf)
+        um = mod.where(it == 1, u0, uprev)
+        fu = (ucur - um) / dt + vxc * du_x / dx + vyc * du_y / dy
+        fu = mod.where(it == 0, (ucur - u0) / dx, fu)
+        fimp = mod.where(it == T - 1, (ucur - u1) / dx, 0.0) * kimp
+        res = [fu, fimp]
+
+        def laplace(q):
+            return (mod.roll(q, -1, 0) - 2 * q + mod.roll(q, 1, 0)) / dx**2 + (
+                mod.roll(q, -1, 1) - 2 * q + mod.roll(q, 1, 1)
+            ) / dy**2
+
+        if kxreg:
+            res += [laplace(vxc) * kxreg, laplace(vyc) * kxreg]
+        if ktreg:
+            k = ktreg / dt
+            res += [
+                mod.where(it == 0, 0.0, (vxc - vxp) * k),
+                mod.where(it == 0, 0.0, (vyc - vyp) * k),
+            ]
+        return tuple(res)
+
+    nterms = 2 + (2 if kxreg else 0) + (2 if ktreg else 0)
+    terms = rowwise_loss_terms(
+        row_fn, (u, vx, vy), consts=(extra.u_init, extra.u_final), nterms=nterms, hist=1
+    )
+    return [Context.Raw(t) for t in terms]
+
+
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--kernel", type=str, default="xla", choices=["xla", "pallas"],
+                        help="Residual evaluation path: XLA-fused or the Pallas row-wise kernel")
     parser.add_argument("--Nt", type=int, default=None, help="Grid size in t")
     parser.add_argument("--Nx", type=int, default=64, help="Grid size in x")
     parser.add_argument("--Ny", type=int, default=None, help="Grid size in y")
@@ -212,7 +276,8 @@ def make_problem(args):
         exact_uu=exact_uu,
         args=args,
     )
-    return odil.Problem(operator_advection, domain, extra), state
+    operator = operator_advection_fused if args.kernel == "pallas" else operator_advection
+    return odil.Problem(operator, domain, extra), state
 
 
 def main(argv=None):

@@ -178,3 +178,37 @@ def test_linsolver_menu(linsolver):
     )
     odil.util.optimize_newton(args, problem, state)
     check_state(problem, state, tol=1e-5)
+
+
+def test_gauss_newton_preconditioned():
+    """Jacobi-preconditioned matrix-free GN matches the unpreconditioned
+    solution on the linear fixture."""
+    import jax
+
+    problem, state = make_problem()
+    domain = problem.domain
+    from odil_tpu.newton import estimate_normal_diag, gauss_newton_step
+
+    f, x = problem.residual_fn(state)
+    diag = estimate_normal_diag(f, x, jax.random.PRNGKey(0), nprobe=16)
+    x, info = jax.jit(
+        lambda x, d: gauss_newton_step(f, x, tol=1e-14, maxiter=500, precond_diag=d)
+    )(x, diag)
+    domain.unpack_state(x, state)
+    check_state(problem, state, tol=1e-6)
+
+
+def test_optimize_gauss_newton_driver_preconditioned():
+    problem, state = make_problem()
+    args = argparse.Namespace(
+        epochs=2,
+        epoch_start=0,
+        seed=3,
+        linsolver="multigrid",
+        linsolver_maxiter=500,
+        linsolver_tol=1e-14,
+        linsolver_damp=0,
+        linsolver_dampdiag=0,
+    )
+    odil.util.optimize(args, "gn", problem, state)
+    check_state(problem, state, tol=1e-6)

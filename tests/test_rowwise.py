@@ -1,0 +1,166 @@
+"""Fused row-wise residual kernel: forward and gradients must match the
+plain-XLA reference computation exactly (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from odil_tpu.ops import rowwise_loss_terms
+
+
+def make_fields(T=6, N=16, nf=2, seed=0):
+    rng = np.random.default_rng(seed)
+    return tuple(jnp.asarray(rng.normal(size=(T, N)), jnp.float32) for _ in range(nf))
+
+
+def test_matches_xla_simple_diffusion():
+    T, N = 6, 16
+    (u,) = make_fields(T, N, nf=1)
+    dt, dx = 0.1, 0.2
+
+    def row_fn(it, T_, rows, consts):
+        (u_rows,) = rows
+        cur, prev = u_rows
+        lap = (jnp.roll(cur, -1) - 2 * cur + jnp.roll(cur, 1)) / dx**2
+        r = (cur - prev) / dt - lap
+        r = jnp.where(it == 0, 0.0, r)
+        return (r,)
+
+    terms = rowwise_loss_terms(row_fn, (u,), nterms=1, hist=1, interpret=True)
+
+    # Reference: same residual via whole-array rolls.
+    prev = jnp.roll(u, 1, axis=0)
+    lap = (jnp.roll(u, -1, 1) - 2 * u + jnp.roll(u, 1, 1)) / dx**2
+    r = (u - prev) / dt - lap
+    it = jnp.arange(T)[:, None]
+    r = jnp.where(it == 0, 0.0, r)
+    expect = jnp.mean(r**2)
+    np.testing.assert_allclose(np.asarray(terms[0]), np.asarray(expect), rtol=1e-6)
+
+
+def test_gradients_match_xla():
+    T, N = 8, 16
+    u, v = make_fields(T, N, nf=2, seed=1)
+    c = jnp.asarray(np.random.default_rng(2).normal(size=(N,)), jnp.float32)
+
+    def row_fn(it, T_, rows, consts):
+        (u_rows, v_rows) = rows
+        (c0,) = consts
+        ucur, uprev = u_rows
+        vcur, _ = v_rows
+        adv = vcur * (jnp.roll(ucur, -1) - jnp.roll(ucur, 1)) * 0.5
+        r1 = (ucur - uprev) + adv
+        r1 = jnp.where(it == 0, ucur - c0, r1)
+        r2 = vcur - jnp.roll(vcur, 1)
+        return (r1, r2)
+
+    def loss_kernel(u, v):
+        t1, t2 = rowwise_loss_terms(row_fn, (u, v), consts=(c,), nterms=2, hist=1, interpret=True)
+        return t1 + 0.5 * t2
+
+    def loss_ref(u, v):
+        uprev = jnp.roll(u, 1, axis=0)
+        adv = v * (jnp.roll(u, -1, 1) - jnp.roll(u, 1, 1)) * 0.5
+        r1 = (u - uprev) + adv
+        it = jnp.arange(T)[:, None]
+        r1 = jnp.where(it == 0, u - c[None, :], r1)
+        r2 = v - jnp.roll(v, 1, 1)
+        return jnp.mean(r1**2) + 0.5 * jnp.mean(r2**2)
+
+    l_k = float(loss_kernel(u, v))
+    l_r = float(loss_ref(u, v))
+    np.testing.assert_allclose(l_k, l_r, rtol=1e-6)
+
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(u, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(u, v)
+    for a, b in zip(gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_hist2_wave_pattern():
+    """Second-order-in-time stencil (wave equation, hist=2)."""
+    T, N = 8, 16
+    (u,) = make_fields(T, N, nf=1, seed=3)
+    dt, dx = 0.1, 0.2
+
+    def row_fn(it, T_, rows, consts):
+        (u_rows,) = rows
+        cur, tm, tmm = u_rows
+        u_tt = (cur - 2 * tm + tmm) / dt**2
+        u_xx = (jnp.roll(tm, -1) - 2 * tm + jnp.roll(tm, 1)) / dx**2
+        r = u_tt - u_xx
+        r = jnp.where(it <= 1, 0.0, r)
+        return (r,)
+
+    def loss_kernel(u):
+        (t,) = rowwise_loss_terms(row_fn, (u,), nterms=1, hist=2, interpret=True)
+        return t
+
+    def loss_ref(u):
+        tm = jnp.roll(u, 1, 0)
+        tmm = jnp.roll(u, 2, 0)
+        u_tt = (u - 2 * tm + tmm) / dt**2
+        u_xx = (jnp.roll(tm, -1, 1) - 2 * tm + jnp.roll(tm, 1, 1)) / dx**2
+        r = u_tt - u_xx
+        it = jnp.arange(T)[:, None]
+        r = jnp.where(it <= 1, 0.0, r)
+        return jnp.mean(r**2)
+
+    np.testing.assert_allclose(float(loss_kernel(u)), float(loss_ref(u)), rtol=1e-6)
+    gk = jax.grad(loss_kernel)(u)
+    gr = jax.grad(loss_ref)(u)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-5, atol=1e-6)
+
+
+def test_2d_planes():
+    """3D space-time fields: planes are 2D (veltracer pattern)."""
+    T, NX, NY = 4, 8, 8
+    rng = np.random.default_rng(4)
+    u = jnp.asarray(rng.normal(size=(T, NX, NY)), jnp.float32)
+
+    def row_fn(it, T_, rows, consts):
+        ((cur, prev),) = rows
+        r = (cur - prev) + 0.1 * (jnp.roll(cur, -1, 0) - jnp.roll(cur, 1, 0))
+        return (r,)
+
+    def loss_kernel(u):
+        (t,) = rowwise_loss_terms(row_fn, (u,), nterms=1, hist=1, interpret=True)
+        return t
+
+    def loss_ref(u):
+        prev = jnp.roll(u, 1, 0)
+        r = (u - prev) + 0.1 * (jnp.roll(u, -1, 1) - jnp.roll(u, 1, 1))
+        return jnp.mean(r**2)
+
+    np.testing.assert_allclose(float(loss_kernel(u)), float(loss_ref(u)), rtol=1e-6)
+    gk = jax.grad(loss_kernel)(u)
+    gr = jax.grad(loss_ref)(u)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gr), rtol=1e-5, atol=1e-6)
+
+
+def test_veltracer_pallas_operator_matches_xla():
+    """The example's fused operator must produce the same training result."""
+    import importlib
+    import os
+    import sys
+    import tempfile
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "velocity_from_tracer")
+    sys.path.insert(0, path)
+    cwd = os.getcwd()
+    try:
+        veltracer = importlib.import_module("veltracer")
+        losses = {}
+        for kernel in ("xla", "pallas"):
+            os.chdir(cwd)
+            argv = ["--Nx", "8", "--kernel", kernel, "--multigrid", "0", "--epochs", "20",
+                    "--report_every", "1000", "--history_every", "10", "--plot_every", "1000",
+                    "--frames", "0", "--outdir", tempfile.mkdtemp(), "--seed", "7"]
+            p, s = veltracer.main(argv)
+            losses[kernel] = float(p.eval_loss_grad(s)[0])
+        assert abs(losses["xla"] - losses["pallas"]) / abs(losses["xla"]) < 1e-4, losses
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(path)
