@@ -452,7 +452,9 @@ def make_problem(args):
 
     if args.checkpoint is not None:
         printlog(f"Loading checkpoint '{args.checkpoint}'")
-        checkpoint_load(domain, state, args.checkpoint)
+        optstate = checkpoint_load(domain, state, args.checkpoint)
+        if optstate is not None:
+            problem.resume_opt_state = optstate
         tpath = os.path.splitext(args.checkpoint)[0] + "_train.pickle"
         if args.checkpoint_train is None:
             assert os.path.isfile(tpath), f"File not found '{tpath}'"

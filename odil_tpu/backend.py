@@ -98,7 +98,21 @@ class ModJax(ModBase):
         super().__init__(jnp)
         self.jax = jax
         self.tf = None
-        self.modsp = None  # Sparse host algebra comes from scipy on demand.
+        # Host sparse algebra (Newton assembly): scipy.sparse, like the
+        # reference's modsp hooks (src/odil/backend.py:173-182).
+        try:
+            import scipy.sparse as modsp
+
+            self.modsp = modsp
+            self.csr_matrix = modsp.csr_matrix
+            self.diags = modsp.diags
+            self.bmat = modsp.bmat
+            self.block_diag = modsp.block_diag
+            self.tril = modsp.tril
+            self.spnorm = modsp.linalg.norm
+            self.spsolve = modsp.linalg.spsolve
+        except ImportError:
+            self.modsp = None
 
         self.array = jnp.asarray
         self.constant = jnp.asarray

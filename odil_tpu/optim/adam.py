@@ -38,15 +38,18 @@ class AdamOptimizer(Optimizer):
         beta_1=0.9,
         beta_2=0.999,
         epsilon=1e-7,
+        init_slots=None,
         **kwargs,
     ):
         if self.loss_fn is not None:
-            return self._run_device(x0, epochs, callback, lr, epoch_start, beta_1, beta_2, epsilon)
+            return self._run_device(
+                x0, epochs, callback, lr, epoch_start, beta_1, beta_2, epsilon, init_slots
+            )
         return self._run_eager(x0, loss_grad, epochs, callback, lr, epoch_start, beta_1, beta_2, epsilon)
 
     # -- Device path: scan over epochs --------------------------------------
 
-    def _run_device(self, x0, epochs, callback, lr, epoch_start, beta_1, beta_2, epsilon):
+    def _run_device(self, x0, epochs, callback, lr, epoch_start, beta_1, beta_2, epsilon, init_slots=None):
         dtype = jnp.asarray(x0[0]).dtype
         lr = jnp.asarray(lr, dtype)
         b1 = jnp.asarray(beta_1, dtype)
@@ -54,12 +57,15 @@ class AdamOptimizer(Optimizer):
         loss_fn = self.loss_fn
         tracer_template = {k: v for k, v in self.tracers.items() if k != "epoch"}
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        # Bias-correction step count; continues across resumes when slots
+        # carry a 'step' entry.
+        step0 = int(init_slots.get("step", 0)) if init_slots else 0
 
         def epoch_step(carry, _):
             x, m, v, epoch = carry
             tracers = dict(tracer_template, epoch=epoch - 1)
             (loss, (terms, norms)), grads = grad_fn(x, tracers)
-            t = (epoch - epoch_start).astype(dtype)
+            t = (epoch - epoch_start + step0).astype(dtype)
             alpha = lr * jnp.sqrt(1 - b2**t) / (1 - b1**t)
             m = [mi + (g - mi) * (1 - b1) for mi, g in zip(m, grads)]
             v = [vi + (jnp.square(g) - vi) * (1 - b2) for vi, g in zip(v, grads)]
@@ -71,14 +77,21 @@ class AdamOptimizer(Optimizer):
             return jax.lax.scan(epoch_step, carry, None, length=length)
 
         x = [jnp.asarray(a) for a in x0]
-        m = [jnp.zeros_like(a) for a in x]
-        v = [jnp.zeros_like(a) for a in x]
+        if init_slots and "m" in init_slots:
+            # Resume the moment estimates (the reference restarts them cold,
+            # SURVEY.md §5 "Checkpoint / resume").
+            m = [jnp.asarray(a) for a in init_slots["m"]]
+            v = [jnp.asarray(a) for a in init_slots["v"]]
+        else:
+            m = [jnp.zeros_like(a) for a in x]
+            v = [jnp.zeros_like(a) for a in x]
         carry = (x, m, v, jnp.asarray(epoch_start + 1, jnp.int32))
 
         epoch = epoch_start
         for n in self._chunks(epoch_start, epochs):
             carry, stacked = run_chunk(carry, n)
             self.evals += n
+            self.slots = {"m": carry[1], "v": carry[2], "step": step0 + (epoch + n - epoch_start)}
             self._emit(callback, carry[0], epoch, stacked, n)
             epoch += n
 

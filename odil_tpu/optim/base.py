@@ -32,6 +32,7 @@ class Optimizer:
         self.mod = mod
         self.pinfo = None
         self.evals = 0
+        self.slots = None  # Slot state (Adam moments, ...) for checkpoints.
         # Device-loop context, installed by util.optimize_grad via bind().
         self.loss_fn = None  # Pure (arrays, tracers) -> (loss, (terms, norms)).
         self.tracers = None  # Tracer template; 'epoch' is overridden in-loop.
@@ -116,7 +117,9 @@ def make_optimizer(name, dtype=None, mod=None, **kwargs):
         return LbfgsbOptimizer(dtype=dtype, mod=mod, **kwargs)
     if name == "lbfgs":
         return LbfgsOptimizer(dtype=dtype, mod=mod, **kwargs)
-    if name in ("adam", "adamn"):
+    if name in ("adam", "adamn", "adam_tf"):
+        # 'adam_tf' (the reference's Keras wrapper) maps to the native
+        # device-resident Adam -- same update rule, no Keras dependency.
         return AdamOptimizer(dtype=dtype, mod=mod, **kwargs)
     if name == "gd":
         return GdOptimizer(dtype=dtype, mod=mod, **kwargs)

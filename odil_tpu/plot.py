@@ -18,9 +18,20 @@ import numpy as np
 __all__ = ["plot_1d", "plot_2d"]
 
 
+# The reference bundles four hand-rolled colormaps (its plot.py:207-513);
+# map their names to the closest standard matplotlib maps.
+_CMAP_ALIASES = {
+    "rainbow": "turbo",
+    "yellow": "YlOrBr",
+    "geo": "terrain",
+    "orange": "Oranges",
+}
+
+
 def _resolve_cmap(cmap):
     if cmap is None:
         return "viridis"
+    cmap = _CMAP_ALIASES.get(cmap, cmap)
     try:
         plt.get_cmap(cmap)
         return cmap

@@ -82,13 +82,62 @@ class Problem:
         self._names = names
         return names, values
 
+    def _flatten_multigrid_batched(self, state):
+        """Flattens groups of identically-shaped MultigridFields to regular
+        Fields with ONE batched interpolation ladder per group.
+
+        The reference flattens each field separately inside ``ctx.field``
+        (``src/odil/core.py:948``); batching the ladders across fields (e.g.
+        u, vx, vy in velocity_from_tracer) turns many small transfer ops on
+        coarse levels into few larger ones -- significant on TPU where the
+        coarse-level arrays are far below the tile size.  Differentiable;
+        semantics identical."""
+        from collections import defaultdict
+
+        from .transfer import interp_to_finer
+
+        domain = self.domain
+        groups = defaultdict(list)
+        for key, f in state.fields.items():
+            if isinstance(f, MultigridField):
+                sig = (
+                    tuple(tuple(t.array.shape) for t in f.terms),
+                    f.loc,
+                    tuple(f.factors) if f.factors else None,
+                    tuple(f.axes) if f.axes else None,
+                    f.method,
+                )
+                groups[sig].append(key)
+        groups = {sig: keys for sig, keys in groups.items() if len(keys) > 1}
+        if not groups:
+            return state
+        mod = domain.mod
+        new_fields = dict(state.fields)
+        for keys in groups.values():
+            fs = [state.fields[k] for k in keys]
+            f0 = fs[0]
+            nlvl = len(f0.terms)
+            factors = f0.factors or domain.mg_factors or [1] * nlvl
+            axes = f0.axes or domain.mg_axes
+            method = f0.method or domain.mg_interp
+            loc_active = "." + "".join(l if ax else "." for l, ax in zip(f0.loc, axes))
+            stacked = [mod.stack([f.terms[lvl].array for f in fs]) for lvl in range(nlvl)]
+            acc = stacked[-1] * factors[-1]
+            for arr, fac in zip(reversed(stacked[:-1]), reversed(factors[:-1])):
+                acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
+            for i, k in enumerate(keys):
+                new_fields[k] = Field(acc[i], loc=f0.loc)
+        from .fields import State
+
+        return State(fields=new_fields, initialized=True)
+
     def loss_terms(self, arrays, tracers):
         """Pure function: (arrays, tracers) -> (loss, terms, norms).
 
         terms[i] = mean(residual_i^2) (or the raw mean for Context.Raw);
         norms[i] = sqrt(terms[i]) (or the raw term itself)."""
         mod = self.domain.mod
-        state = self.state_from_arrays(arrays)
+        state = self._flatten_multigrid_batched(self.state_from_arrays(arrays))
         ctx = Context(self.domain, state, extra=self.extra, tracers=tracers)
         _, values = self._run_operator(ctx)
         terms = [mod.mean(v.value) if isinstance(v, Context.Raw) else mod.mean(mod.square(v)) for v in values]
@@ -149,7 +198,7 @@ class Problem:
         if self._compiled_operator is None:
 
             def func(arrays, tracers):
-                st = self.state_from_arrays(arrays)
+                st = self._flatten_multigrid_batched(self.state_from_arrays(arrays))
                 ctx = Context(self.domain, st, extra=self.extra, tracers=tracers)
                 _, values = self._run_operator(ctx)
                 return [v.value if isinstance(v, Context.Raw) else v for v in values]
@@ -336,7 +385,7 @@ class Problem:
 
         def f(x):
             arrays = unpack(x)
-            st = self.state_from_arrays(arrays)
+            st = self._flatten_multigrid_batched(self.state_from_arrays(arrays))
             ctx = Context(domain, st, extra=self.extra, tracers=self.tracers)
             _, values = self._run_operator(ctx)
             values = [v.value if isinstance(v, Context.Raw) else v for v in values]

@@ -197,6 +197,13 @@ def optimize_grad(args, optname, problem, state, callback=None, **kwargs):
 
     opt = make_optimizer(optname, dtype=domain.dtype, mod=mod, **kwargs)
     printlog(f"Running {opt.displayname} optimizer")
+    # Expose the active optimizer so checkpoints can include slot state, and
+    # resume slot state loaded by the caller (problem.resume_opt_state).
+    problem._active_optimizer = opt
+    resume_slots = getattr(problem, "resume_opt_state", None)
+    if resume_slots is not None:
+        kwargs["init_slots"] = resume_slots
+        printlog("Resuming optimizer slot state from checkpoint")
 
     # Initial evaluation, reported through the callback at epoch_start.
     loss_fn, arrays = problem.make_loss_fn(state)
@@ -487,7 +494,9 @@ def make_callback(
 
                 path = f"checkpoint_{epoch:06d}.pickle"
                 printlog(path)
-                checkpoint_save(problem.domain, state, path)
+                opt = getattr(problem, "_active_optimizer", None)
+                optstate = getattr(opt, "slots", None) if opt is not None else None
+                checkpoint_save(problem.domain, state, path, optstate=optstate)
 
         cbinfo.time_callback += time.time() - time_prev
 

@@ -21,6 +21,13 @@ CASES = [
     ("basic", "fields", ["--epochs", "60"]),
 ]
 
+PINN_CASE = (
+    "heat",
+    "heat",
+    ["--Nt", "16", "--Nx", "16", "--epochs", "40", "--solver", "pinn", "--Nci", "128",
+     "--Ncb", "16", "--infer_k", "1", "--imposed", "random", "--nimp", "16"],
+)
+
 COMMON = ["--report_every", "1000000", "--history_every", "20", "--plot_every", "1000000", "--frames", "0", "--echo", "0"]
 
 
@@ -52,3 +59,14 @@ def test_example_trains(subdir, module_name, argv):
     assert len(losses) >= 2
     assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]} -> {losses[-1]}"
     assert np.isfinite(losses[-1])
+
+
+def test_heat_pinn_trains():
+    problem, state, out = run_example(PINN_CASE[0], PINN_CASE[1], PINN_CASE[2])
+    csv = os.path.join(out, "train.csv")
+    with open(csv) as f:
+        header = f.readline().strip().split(",")
+        rows = [line.strip().split(",") for line in f if line.strip()]
+    icol = header.index("loss")
+    losses = [float(r[icol]) for r in rows]
+    assert losses[-1] < losses[0]

@@ -113,3 +113,45 @@ def test_cache_to_file(tmp_path):
     assert slow(3) == 6
     assert slow(3) == 6
     assert calls == [3]
+
+
+def test_checkpoint_resume_with_optimizer_slots(tmp_path):
+    """Training resumed from a checkpoint with Adam slots continues the
+    moment estimates (improvement over the reference, which restarts them)."""
+    import argparse
+
+    os.chdir(tmp_path)
+    domain = odil.Domain(cshape=(8, 8), dimnames=["x", "y"], multigrid=False)
+    ref = np.random.RandomState(0).rand(8, 8)
+
+    def operator(ctx):
+        return [ctx.field("u") - ctx.extra.ref]
+
+    def make():
+        state = domain.init_state(odil.State(fields={"u": None}))
+        extra = argparse.Namespace(ref=domain.cast(ref))
+        return odil.Problem(operator, domain, extra), state
+
+    args = argparse.Namespace(
+        epochs=50, epoch_start=0, lr=0.1,
+        report_every=0, history_every=0, plot_every=0, checkpoint_every=0,
+        history_full=0, frames=0, callback_update_state=0,
+        bfgs_m=10, bfgs_maxls=20, bfgs_pgtol=None,
+        adam_epsilon=None, adam_beta_1=None, adam_beta_2=None,
+    )
+    problem, state = make()
+    odil.util.optimize_grad(args, "adamn", problem, state)
+    opt = problem._active_optimizer
+    assert opt.slots is not None and "m" in opt.slots
+    odil.core.checkpoint_save(domain, state, "ck.pickle", optstate=opt.slots)
+
+    # Resume and verify slots are used (step continues, loss keeps dropping).
+    problem2, state2 = make()
+    optstate = odil.core.checkpoint_load(domain, state2, "ck.pickle")
+    assert optstate is not None and "m" in optstate
+    problem2.resume_opt_state = optstate
+    loss_mid = problem2.eval_loss_grad(state2)[0]
+    args2 = argparse.Namespace(**{**vars(args), "epochs": 100, "epoch_start": 50})
+    odil.util.optimize_grad(args2, "adamn", problem2, state2)
+    loss_end = problem2.eval_loss_grad(state2)[0]
+    assert loss_end < loss_mid
