@@ -41,7 +41,10 @@ def build():
     )
     import veltracer
 
-    args = veltracer.parse_args(["--Nt", str(NT), "--Nx", str(NX), "--Ny", str(NY)])
+    kernel = "pallas"
+    args = veltracer.parse_args(
+        ["--Nt", str(NT), "--Nx", str(NX), "--Ny", str(NY), "--kernel", kernel]
+    )
     args.Nt, args.Ny = NT, NY
     domain = odil.Domain(
         cshape=(NT, NX, NY),
@@ -60,7 +63,8 @@ def build():
         u_final=domain.cast(veltracer.tracer_blob(x, y, 1)),
         args=args,
     )
-    problem = odil.Problem(veltracer.operator_advection, domain, extra)
+    op = veltracer.operator_advection_fused if kernel == "pallas" else veltracer.operator_advection
+    problem = odil.Problem(op, domain, extra)
     return problem, state
 
 

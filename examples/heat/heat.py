@@ -120,6 +120,128 @@ def operator_odil(ctx):
     return res
 
 
+def operator_odil_fused(ctx):
+    """Same discretization as operator_odil, evaluated through the fused
+    row-wise Pallas kernel (odil_tpu.ops) -- including the conductivity
+    neural network, whose weights are differentiable kernel parameters.
+    The weight-regularization term (wreg) has no grid shape and stays on
+    the regular path."""
+    from odil_tpu.context import Context
+    from odil_tpu.ops import rowwise_loss_terms
+
+    extra = ctx.extra
+    mod = ctx.mod
+    args = extra.args
+    dt, dx = map(float, ctx.step())
+    nt, nx = ctx.size()
+    epoch = ctx.tracers["epoch"]
+    dtype = ctx.dtype
+
+    u = ctx.field("u")
+    if args.infer_k:
+        k_params = tuple(ctx.domain.arrays_from_field(ctx.state.fields["k_net"]))
+        nlayers = len(ctx.state.fields["k_net"].weights)
+
+        def k_of(x, params):
+            ws, bs = params[:nlayers], params[nlayers:]
+            h = x[..., None]
+            for i, (w, b) in enumerate(zip(ws, bs)):
+                h = mod.einsum("...i,oi->...o", h, w) + b
+                if i < nlayers - 1:
+                    h = mod.tanh(h)
+            return mod.sigmoid(h[..., 0]) * args.kmax
+
+    else:
+        k_params = ()
+
+        def k_of(x, params):
+            return true_conductivity(x, mod=mod)
+
+    u0 = extra.init_u
+    consts = (
+        u0,
+        mod.roll(u0, 1, 0),
+        mod.roll(u0, -1, 0),
+        mod.cast(ctx.indices("x")[0, :], dtype),  # ix as a plane constant
+        mod.reshape(mod.cast(args.kxreg * anneal(epoch, args.kxregdecay), dtype), (1, 1)),
+        mod.reshape(mod.cast(args.ktreg * anneal(epoch, args.ktregdecay), dtype), (1, 1)),
+    )
+    data = (extra.imp_mask, extra.imp_u) if extra.imp_size else ()
+    imp_weight = (
+        float(args.kimp * (np.prod(ctx.size()) / extra.imp_size) ** 0.5) if extra.imp_size else 0.0
+    )
+
+    def row_fn(it, T, rows, data_rows, params, cons):
+        cur0, prev0 = rows[0]
+        u0c, u0m, u0p, ix, kx, kt = cons
+
+        def shifted(row):
+            return [row, mod.roll(row, 1, 0), mod.roll(row, -1, 0)]
+
+        def impose(cur, prev):
+            if args.keep_init:
+                u0rows = [u0c, u0m, u0p]
+                prev = [
+                    mod.where(it == 0, extrap_linear(c, z), p)
+                    for c, p, z in zip(cur, prev, u0rows)
+                ]
+            out = []
+            for row in (cur, prev):
+                r1 = mod.where(ix == 0, extrap_quadh(row[2], row[0], 0.0), row[1])
+                r2 = mod.where(ix == nx - 1, extrap_quadh(r1, row[0], 0.0), row[2])
+                out.append([row[0], r1, r2])
+            return out
+
+        cur, prev = impose(shifted(cur0), shifted(prev0))
+        u_t = (cur[0] - prev[0]) / dt
+        du_m = ((cur[0] + prev[0]) - (cur[1] + prev[1])) / (2 * dx)
+        du_p = ((cur[2] + prev[2]) - (cur[0] + prev[0])) / (2 * dx)
+
+        if args.keep_frozen:
+            sg = jax.lax.stop_gradient
+            fcur, fprev = impose(shifted(sg(cur0)), shifted(sg(prev0)))
+        else:
+            fcur, fprev = cur, prev
+        uface_m = ((fcur[0] + fprev[0]) + (fcur[1] + fprev[1])) * 0.25
+        uface_p = ((fcur[2] + fprev[2]) + (fcur[0] + fprev[0])) * 0.25
+
+        km = k_of(uface_m, params)
+        kp = k_of(uface_p, params)
+        fu = u_t - (du_p * kp - du_m * km) / dx
+        if not args.keep_init:
+            fu = mod.where(it == 0, 0.0, fu)
+        res = [fu]
+        if extra.imp_size:
+            mask_row, impu_row = data_rows
+            res += [mask_row * (cur[0] - impu_row) * imp_weight]
+        if args.kxreg:
+            u_x = mod.where(ix == 0, 0.0, (cur[0] - cur[1]) / dx)
+            res += [u_x * kx[0, 0]]
+        if args.ktreg:
+            du = mod.where(it == 0, 0.0, (cur[0] - prev[0]) / dt)
+            res += [du * kt[0, 0]]
+        return tuple(res)
+
+    names = ["fu"]
+    if extra.imp_size:
+        names.append("imp")
+    if args.kxreg:
+        names.append("xreg")
+    if args.ktreg:
+        names.append("treg")
+    terms = rowwise_loss_terms(
+        row_fn, (u,), params=k_params, data=data, consts=consts, nterms=len(names), hist=1
+    )
+    res = [(name, Context.Raw(t)) for name, t in zip(names, terms)]
+
+    if args.kwreg and args.infer_k:
+        ww = ctx.domain.arrays_from_field(ctx.state.fields["k_net"])
+        ww = mod.concatenate([mod.flatten(w) for w in ww], axis=0)
+        k = args.kwreg * anneal(epoch, args.kwregdecay)
+        res += [("wreg", (mod.stop_gradient(ww) - ww) * k)]
+    return res
+
+
 def operator_pinn(ctx):
     extra = ctx.extra
     mod = ctx.mod
@@ -197,6 +319,8 @@ def pick_imposed(domain, args):
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
     add = parser.add_argument
+    add("--kernel", type=str, default="xla", choices=["xla", "pallas"],
+        help="Residual evaluation path: XLA-fused or the Pallas row-wise kernel")
     add("--Nt", type=int, default=64, help="Grid size in t")
     add("--Nx", type=int, default=64, help="Grid size in x")
     add("--Nci", type=int, default=4096, help="Collocation points inside domain (PINN)")
@@ -419,7 +543,7 @@ def make_problem(args):
 
     state = odil.State()
     if args.solver == "odil":
-        operator = operator_odil
+        operator = operator_odil_fused if args.kernel == "pallas" else operator_odil
         state.fields["u"] = np.zeros(domain.cshape)
     elif args.solver == "pinn":
         operator = operator_pinn

@@ -105,7 +105,7 @@ def operator_advection_fused(ctx):
     vx = ctx.field("vx")
     vy = ctx.field("vy")
 
-    def row_fn(it, T, rows, consts):
+    def row_fn(it, T, rows, data_rows, params, consts):
         (u_r, vx_r, vy_r) = rows
         u0, u1 = consts
         ucur, uprev = u_r

@@ -230,21 +230,31 @@ class Domain:
 
     # -- Sharding ----------------------------------------------------------
 
-    def field_sharding(self, loc=None):
-        """NamedSharding for a grid field at location `loc`, or None."""
+    def field_sharding(self, loc=None, shape=None):
+        """NamedSharding for a grid field, or None.
+
+        Axes whose size does not divide the mesh axis (staggered +1 nodes,
+        coarse multigrid levels) are replicated instead of sharded."""
         if self.mesh is None or self.partition is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec
 
-        spec = PartitionSpec(*(self.partition.get(name) for name in self.dimnames))
-        return NamedSharding(self.mesh, spec)
+        axis_sizes = dict(zip(self.mesh.axis_names, self.mesh.devices.shape))
+        entries = []
+        for d, name in enumerate(self.dimnames):
+            axis = self.partition.get(name)
+            if axis is not None and shape is not None and shape[d] % axis_sizes[axis] != 0:
+                axis = None
+            entries.append(axis)
+        return NamedSharding(self.mesh, PartitionSpec(*entries))
 
     def _place(self, array, loc=None):
         """Casts to device, applying the domain sharding for grid fields."""
-        sharding = self.field_sharding(loc)
+        array = self.mod.cast(array, self.dtype)
+        sharding = self.field_sharding(loc, shape=tuple(array.shape))
         if sharding is not None and self.mod.jax is not None:
-            return self.mod.jax.device_put(self.mod.cast(array, self.dtype), sharding)
-        return self.mod.variable(array, dtype=self.dtype)
+            return self.mod.jax.device_put(array, sharding)
+        return array
 
     def constrain(self, array):
         """Applies the domain sharding constraint inside a jitted function."""

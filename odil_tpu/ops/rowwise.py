@@ -14,21 +14,28 @@ backward pass doubles that traffic.  This kernel streams the grid row-by-row
 - backward: flash-attention-style recompute.  Each program re-evaluates the
   residual rows that read its output row and obtains exact cotangents by
   calling ``jax.vjp`` on the row function *inside the kernel* -- no
-  hand-derived adjoint stencils, any row function is supported.
+  hand-derived adjoint stencils, any row function is supported, including
+  neural networks evaluated pointwise on the rows (their weight gradients
+  are accumulated across the sequential grid in a resident block).
 
 The row function sees periodic wraparound across the time axis, exactly
 matching ``ctx.field`` shift semantics (reference ``src/odil/core.py:963``),
 so boundary masking stays the author's responsibility as usual.
 
-API (see ``rowwise_loss_terms`` for the high-level entry):
-    sums = rowwise_sumsq(row_fn, nterms, hist, interpret, fields, consts)
-      fields: tuple of arrays shaped (T, *plane) -- the unknowns.
-      consts: tuple of arrays shaped (*plane); not differentiated.
-      row_fn(it, T, rows, consts) -> tuple of nterms residual planes, where
-              rows[f][o] is field f at time row (it - o) % T, o in 0..hist.
-      returns: (nterms,) array of sum(residual_k**2) over the whole grid.
+Input groups:
+  fields: tuple of (T, *plane) arrays -- the unknowns; differentiated; the
+          row function receives offsets 0..hist with periodic wrap.
+  params: tuple of arrays of any shape (e.g. NeuralNet weights);
+          differentiated; broadcast to every row.
+  data:   tuple of (T, *plane) arrays read at offset 0 only (masks,
+          measurements); not differentiated.
+  consts: tuple of (*plane) or (1, 1)-scalar arrays; not differentiated.
 
-Gradients flow to `fields` only.
+row_fn(it, T, rows, data_rows, params, consts) -> tuple of nterms residual
+planes; rows[f][o] is field f at time row (it - o) % T.
+
+High-level entry: ``rowwise_loss_terms`` (handles 1-D planes and returns
+per-term mean-squared losses).
 """
 
 from functools import partial
@@ -56,43 +63,53 @@ def _row_spec(shape, T, offset):
     return pl.BlockSpec((1,) + tuple(shape[1:]), index_map)
 
 
-def _const_spec(shape):
+def _whole_spec(shape):
     ndim = len(shape)
     return pl.BlockSpec(tuple(shape), lambda i: (0,) * ndim)
 
 
-def _forward(row_fn, nterms, hist, interpret, fields, consts):
+def _forward(row_fn, nterms, hist, interpret, fields, params, data, consts):
     T = fields[0].shape[0]
-    nf = len(fields)
+    nf, np_, nd = len(fields), len(params), len(data)
 
     def kernel(*refs):
-        field_refs = refs[: nf * (hist + 1)]
-        const_refs = refs[nf * (hist + 1) : -1]
+        pos = 0
+        field_refs = refs[pos : pos + nf * (hist + 1)]
+        pos += nf * (hist + 1)
+        data_refs = refs[pos : pos + nd]
+        pos += nd
+        const_refs = refs[pos : pos + len(consts)]
+        pos += len(consts)
+        param_refs = refs[pos : pos + np_]
         out_ref = refs[-1]
+
         i = pl.program_id(0)
         rows = tuple(
             tuple(field_refs[f * (hist + 1) + o][0] for o in range(hist + 1)) for f in range(nf)
         )
+        data_rows = tuple(r[0] for r in data_refs)
         consts_v = tuple(r[...] for r in const_refs)
-        res = row_fn(i, T, rows, consts_v)
+        params_v = tuple(r[...] for r in param_refs)
+        res = row_fn(i, T, rows, data_rows, params_v, consts_v)
         sums = jnp.stack([jnp.sum(r * r) for r in res])
 
-        # The (1, nterms) output block is resident across the sequential TPU
-        # grid; initialize at the first program and accumulate.
+        # The (1, nterms) output block stays resident across the sequential
+        # TPU grid; initialize at the first program and accumulate.
         @pl.when(i == 0)
         def _():
             out_ref[0, :] = jnp.zeros((nterms,), out_ref.dtype)
 
         out_ref[0, :] += sums
 
-    in_specs = []
-    for f in fields:
-        for o in range(hist + 1):
-            in_specs.append(_row_spec(f.shape, T, -o))
-    for c in consts:
-        in_specs.append(_const_spec(c.shape))
-
-    inputs = [f for f in fields for _ in range(hist + 1)] + list(consts)
+    in_specs = (
+        [_row_spec(f.shape, T, -o) for f in fields for o in range(hist + 1)]
+        + [_row_spec(d.shape, T, 0) for d in data]
+        + [_whole_spec(c.shape) for c in consts]
+        + [_whole_spec(p.shape) for p in params]
+    )
+    inputs = (
+        [f for f in fields for _ in range(hist + 1)] + list(data) + list(consts) + list(params)
+    )
     out = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -104,64 +121,94 @@ def _forward(row_fn, nterms, hist, interpret, fields, consts):
     return out[0]
 
 
-def _backward(row_fn, nterms, hist, interpret, fields, consts, g):
-    """d(sum_k g[k] * S[k]) / d(fields).
+def _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g):
+    """d(sum_k g[k] * S[k]) / d(fields, params).
 
-    Program i accumulates, for each residual row j = (i + o) % T that reads
-    row i (offset o = 0..hist), the vjp cotangent of that row's residuals
-    with cotangent 2 * g[k] * residual_k[j]."""
+    Field row i receives cotangents from residual rows j = (i + o) % T
+    (o = 0..hist) through their offset-o sample; param gradients are
+    accumulated from each program's own residual row into resident blocks."""
     T = fields[0].shape[0]
-    nf = len(fields)
-    span = 2 * hist + 1  # Offsets -hist..hist relative to program row.
+    nf, np_, nd = len(fields), len(params), len(data)
+    span = 2 * hist + 1  # Offsets -hist..hist relative to the program row.
     gmat = jnp.reshape(g, (1, nterms))
 
     def kernel(*refs):
-        field_refs = refs[: nf * span]
-        const_refs = refs[nf * span : nf * span + len(consts)]
-        g_ref = refs[nf * span + len(consts)]
-        out_refs = refs[nf * span + len(consts) + 1 :]
+        pos = 0
+        field_refs = refs[pos : pos + nf * span]
+        pos += nf * span
+        data_refs = refs[pos : pos + nd * (hist + 1)]
+        pos += nd * (hist + 1)
+        const_refs = refs[pos : pos + len(consts)]
+        pos += len(consts)
+        param_refs = refs[pos : pos + np_]
+        pos += np_
+        g_ref = refs[pos]
+        out_field_refs = refs[pos + 1 : pos + 1 + nf]
+        out_param_refs = refs[pos + 1 + nf :]
 
         i = pl.program_id(0)
         consts_v = tuple(r[...] for r in const_refs)
+        params_v = tuple(r[...] for r in param_refs)
         gvec = g_ref[0]
 
-        def plane(f, d):
-            # Row (i + d) % T of field f; d in -hist..hist.
+        def field_plane(f, d):
             return field_refs[f * span + (d + hist)][0]
 
         accs = [jnp.zeros(fields[f].shape[1:], fields[f].dtype) for f in range(nf)]
+        param_accs = [jnp.zeros(p.shape, p.dtype) for p in params]
         for o in range(hist + 1):
             j = (i + o) % T
+            data_rows = tuple(data_refs[d * (hist + 1) + o][0] for d in range(nd))
 
-            def residuals_of(*flat_rows, _j=j):
+            def residuals_of(*args, _j=j, _data=data_rows):
+                flat_rows = args[: nf * (hist + 1)]
+                pv = args[nf * (hist + 1) :]
                 rows = tuple(
                     tuple(flat_rows[f * (hist + 1) + m] for m in range(hist + 1)) for f in range(nf)
                 )
-                return tuple(row_fn(_j, T, rows, consts_v))
+                return tuple(row_fn(_j, T, rows, _data, pv, consts_v))
 
-            flat_rows = tuple(plane(f, o - m) for f in range(nf) for m in range(hist + 1))
-            res, vjp_fn = jax.vjp(residuals_of, *flat_rows)
+            flat_rows = tuple(field_plane(f, o - m) for f in range(nf) for m in range(hist + 1))
+            res, vjp_fn = jax.vjp(residuals_of, *(flat_rows + tuple(params_v)))
             w = tuple(2.0 * gvec[k] * res[k] for k in range(nterms))
             cots = vjp_fn(w)
             # Only the offset-o sample of residual row j is our row i.
             for f in range(nf):
                 accs[f] = accs[f] + cots[f * (hist + 1) + o]
+            if o == 0:
+                # Each residual row contributes its param cotangent exactly
+                # once: at the program that owns it.
+                for p in range(np_):
+                    param_accs[p] = param_accs[p] + cots[nf * (hist + 1) + p]
         for f in range(nf):
-            out_refs[f][0] = accs[f]
+            out_field_refs[f][0] = accs[f]
+        for p in range(np_):
 
-    in_specs = []
-    for f in fields:
-        for d in range(-hist, hist + 1):
-            in_specs.append(_row_spec(f.shape, T, d))
-    for c in consts:
-        in_specs.append(_const_spec(c.shape))
-    in_specs.append(_const_spec((1, nterms)))
+            @pl.when(i == 0)
+            def _(p=p):
+                out_param_refs[p][...] = jnp.zeros(params[p].shape, params[p].dtype)
 
-    out_specs = [_row_spec(f.shape, T, 0) for f in fields]
-    out_shapes = [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields]
+            out_param_refs[p][...] += param_accs[p]
 
-    inputs = [f for f in fields for _ in range(span)] + list(consts) + [gmat]
-    grads = pl.pallas_call(
+    in_specs = (
+        [_row_spec(f.shape, T, d) for f in fields for d in range(-hist, hist + 1)]
+        + [_row_spec(d.shape, T, o) for d in data for o in range(hist + 1)]
+        + [_whole_spec(c.shape) for c in consts]
+        + [_whole_spec(p.shape) for p in params]
+        + [_whole_spec((1, nterms))]
+    )
+    inputs = (
+        [f for f in fields for _ in range(span)]
+        + [d for d in data for _ in range(hist + 1)]
+        + list(consts)
+        + list(params)
+        + [gmat]
+    )
+    out_specs = [_row_spec(f.shape, T, 0) for f in fields] + [_whole_spec(p.shape) for p in params]
+    out_shapes = [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields] + [
+        jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params
+    ]
+    outs = pl.pallas_call(
         kernel,
         grid=(T,),
         in_specs=in_specs,
@@ -169,37 +216,40 @@ def _backward(row_fn, nterms, hist, interpret, fields, consts, g):
         out_shape=out_shapes,
         interpret=interpret,
     )(*inputs)
-    return tuple(grads)
+    return tuple(outs[:nf]), tuple(outs[nf:])
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def rowwise_sumsq(row_fn, nterms, hist, interpret, fields, consts):
-    return _forward(row_fn, nterms, hist, interpret, fields, consts)
+def rowwise_sumsq(row_fn, nterms, hist, interpret, fields, params, data, consts):
+    return _forward(row_fn, nterms, hist, interpret, fields, params, data, consts)
 
 
-def _fwd_rule(row_fn, nterms, hist, interpret, fields, consts):
-    out = _forward(row_fn, nterms, hist, interpret, fields, consts)
-    return out, (fields, consts)
+def _fwd_rule(row_fn, nterms, hist, interpret, fields, params, data, consts):
+    out = _forward(row_fn, nterms, hist, interpret, fields, params, data, consts)
+    return out, (fields, params, data, consts)
 
 
-def _bwd_rule(row_fn, nterms, hist, interpret, residuals, g):
-    fields, consts = residuals
-    dfields = _backward(row_fn, nterms, hist, interpret, fields, consts, g)
+def _bwd_rule(row_fn, nterms, hist, interpret, saved, g):
+    fields, params, data, consts = saved
+    dfields, dparams = _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g)
+    ddata = tuple(jnp.zeros_like(d) for d in data)
     dconsts = tuple(jnp.zeros_like(c) for c in consts)
-    return dfields, dconsts
+    return dfields, dparams, ddata, dconsts
 
 
 rowwise_sumsq.defvjp(_fwd_rule, _bwd_rule)
 
 
-def rowwise_loss_terms(row_fn, fields, consts=(), nterms=1, hist=1, interpret=None):
+def rowwise_loss_terms(row_fn, fields, params=(), data=(), consts=(), nterms=1, hist=1, interpret=None):
     """Per-term mean-squared losses through the fused kernel.
 
     Equivalent to ``[mean(residual_k**2)]`` with residuals over the full
     (T, *plane) grid.  1-D planes are padded to 2-D internally to satisfy
-    TPU tiling; pass `interpret=True` to force the Pallas interpreter
-    (automatic off-TPU)."""
+    TPU tiling; (1, 1) consts pass scalars.  `interpret=True` forces the
+    Pallas interpreter (automatic off-TPU)."""
     fields = tuple(fields)
+    params = tuple(params)
+    data = tuple(data)
     consts = tuple(consts)
     if interpret is None:
         interpret = not _on_tpu()
@@ -209,14 +259,19 @@ def rowwise_loss_terms(row_fn, fields, consts=(), nterms=1, hist=1, interpret=No
     if fields[0].ndim == 2:
         # (T, N) -> (T, 1, N): TPU block shapes need a unit sublane axis.
         fields2 = tuple(f[:, None, :] for f in fields)
+        data2 = tuple(d[:, None, :] if d.ndim == 2 else d for d in data)
         consts2 = tuple(c[None, :] if c.ndim == 1 else c for c in consts)
 
-        def row_fn2(it, T_, rows, cons):
-            rows1 = tuple(tuple(p[0] for p in f_rows) for f_rows in rows)
-            cons1 = tuple(c[0] if c.ndim == 2 and c.shape[0] == 1 else c for c in cons)
-            return tuple(r[None, :] for r in row_fn(it, T_, rows1, cons1))
+        def unpad_c(c, orig):
+            return c[0] if orig.ndim == 1 else c
 
-        sums = rowwise_sumsq(row_fn2, nterms, hist, interpret, fields2, consts2)
+        def row_fn2(it, T_, rows, data_rows, pv, cons):
+            rows1 = tuple(tuple(p[0] for p in f_rows) for f_rows in rows)
+            data1 = tuple(p[0] if d.ndim == 2 else p for p, d in zip(data_rows, data))
+            cons1 = tuple(unpad_c(c, o) for c, o in zip(cons, consts))
+            return tuple(r[None, :] for r in row_fn(it, T_, rows1, data1, pv, cons1))
+
+        sums = rowwise_sumsq(row_fn2, nterms, hist, interpret, fields2, params, data2, consts2)
     else:
-        sums = rowwise_sumsq(row_fn, nterms, hist, interpret, fields, consts)
+        sums = rowwise_sumsq(row_fn, nterms, hist, interpret, fields, params, data, consts)
     return [sums[k] / (T * plane) for k in range(nterms)]

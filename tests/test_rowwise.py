@@ -19,7 +19,7 @@ def test_matches_xla_simple_diffusion():
     (u,) = make_fields(T, N, nf=1)
     dt, dx = 0.1, 0.2
 
-    def row_fn(it, T_, rows, consts):
+    def row_fn(it, T_, rows, data_rows, params, consts):
         (u_rows,) = rows
         cur, prev = u_rows
         lap = (jnp.roll(cur, -1) - 2 * cur + jnp.roll(cur, 1)) / dx**2
@@ -44,7 +44,7 @@ def test_gradients_match_xla():
     u, v = make_fields(T, N, nf=2, seed=1)
     c = jnp.asarray(np.random.default_rng(2).normal(size=(N,)), jnp.float32)
 
-    def row_fn(it, T_, rows, consts):
+    def row_fn(it, T_, rows, data_rows, params, consts):
         (u_rows, v_rows) = rows
         (c0,) = consts
         ucur, uprev = u_rows
@@ -84,7 +84,7 @@ def test_hist2_wave_pattern():
     (u,) = make_fields(T, N, nf=1, seed=3)
     dt, dx = 0.1, 0.2
 
-    def row_fn(it, T_, rows, consts):
+    def row_fn(it, T_, rows, data_rows, params, consts):
         (u_rows,) = rows
         cur, tm, tmm = u_rows
         u_tt = (cur - 2 * tm + tmm) / dt**2
@@ -119,7 +119,7 @@ def test_2d_planes():
     rng = np.random.default_rng(4)
     u = jnp.asarray(rng.normal(size=(T, NX, NY)), jnp.float32)
 
-    def row_fn(it, T_, rows, consts):
+    def row_fn(it, T_, rows, data_rows, params, consts):
         ((cur, prev),) = rows
         r = (cur - prev) + 0.1 * (jnp.roll(cur, -1, 0) - jnp.roll(cur, 1, 0))
         return (r,)
@@ -161,6 +161,79 @@ def test_veltracer_pallas_operator_matches_xla():
             p, s = veltracer.main(argv)
             losses[kernel] = float(p.eval_loss_grad(s)[0])
         assert abs(losses["xla"] - losses["pallas"]) / abs(losses["xla"]) < 1e-4, losses
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(path)
+
+
+def test_params_gradients_neural_net_in_kernel():
+    """NeuralNet weights as differentiable kernel params: gradients must
+    match the plain-XLA computation (heat inverse-conductivity pattern)."""
+    T, N = 8, 16
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.normal(size=(T, N)), jnp.float32)
+    W1 = jnp.asarray(rng.normal(size=(4, 1)) * 0.5, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=(4,)) * 0.1, jnp.float32)
+    W2 = jnp.asarray(rng.normal(size=(1, 4)) * 0.5, jnp.float32)
+    b2 = jnp.asarray(rng.normal(size=(1,)) * 0.1, jnp.float32)
+    mask = jnp.asarray(rng.integers(0, 2, size=(T, N)), jnp.float32)
+
+    def net(x, params):
+        W1, b1, W2, b2 = params
+        h = jnp.tanh(jnp.einsum("...i,oi->...o", x[..., None], W1) + b1)
+        return (jnp.einsum("...i,oi->...o", h, W2) + b2)[..., 0]
+
+    def row_fn(it, T_, rows, data_rows, params, consts):
+        ((cur, prev),) = rows
+        (m,) = data_rows
+        k = net(cur, params)
+        r = (cur - prev) - k * (jnp.roll(cur, -1) - 2 * cur + jnp.roll(cur, 1))
+        return (r * m,)
+
+    def loss_kernel(u, params):
+        (t,) = rowwise_loss_terms(
+            row_fn, (u,), params=params, data=(mask,), nterms=1, hist=1, interpret=True
+        )
+        return t
+
+    def loss_ref(u, params):
+        prev = jnp.roll(u, 1, 0)
+        k = net(u, params)
+        r = (u - prev) - k * (jnp.roll(u, -1, 1) - 2 * u + jnp.roll(u, 1, 1))
+        return jnp.mean((r * mask) ** 2)
+
+    params = (W1, b1, W2, b2)
+    np.testing.assert_allclose(float(loss_kernel(u, params)), float(loss_ref(u, params)), rtol=1e-5)
+    gk = jax.grad(loss_kernel, argnums=(0, 1))(u, params)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(u, params)
+    np.testing.assert_allclose(np.asarray(gk[0]), np.asarray(gr[0]), rtol=1e-4, atol=1e-6)
+    for a, b in zip(gk[1], gr[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_heat_pallas_operator_matches_xla():
+    import importlib
+    import os
+    import sys
+    import tempfile
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "heat")
+    sys.path.insert(0, path)
+    cwd = os.getcwd()
+    try:
+        heat = importlib.import_module("heat")
+        losses = {}
+        for kernel in ("xla", "pallas"):
+            os.chdir(cwd)
+            argv = ["--Nt", "16", "--Nx", "16", "--kernel", kernel, "--multigrid", "0",
+                    "--epochs", "20", "--infer_k", "1", "--imposed", "random", "--nimp", "30",
+                    "--kxreg", "0.01", "--ktreg", "0.01", "--kwreg", "0.1",
+                    "--report_every", "1000", "--history_every", "10", "--plot_every", "1000",
+                    "--frames", "0", "--outdir", tempfile.mkdtemp(), "--seed", "7"]
+            p, s = heat.main(argv)
+            losses[kernel] = float(p.eval_loss_grad(s)[0])
+        assert abs(losses["xla"] - losses["pallas"]) / abs(losses["xla"]) < 1e-3, losses
     finally:
         os.chdir(cwd)
         sys.path.remove(path)
