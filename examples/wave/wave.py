@@ -69,6 +69,51 @@ def operator_wave(ctx):
     return [("fu", fu)]
 
 
+def operator_wave_fused(ctx):
+    """Same discretization as operator_wave through the fused row-wise
+    Pallas kernel (hist=2: second-order time stencil); the boundary traces
+    enter as per-row data inputs."""
+    from odil_tpu.context import Context
+    from odil_tpu.ops import rowwise_loss_terms
+
+    extra = ctx.extra
+    mod = ctx.mod
+    args = extra.args
+    dt, dx = map(float, ctx.step())
+    nt, nx = ctx.size()
+    dtype = ctx.dtype
+
+    u = ctx.field("u")
+    left_utm = mod.reshape(mod.roll(extra.left_u, 1, 0), (nt, 1))
+    right_utm = mod.reshape(mod.roll(extra.right_u, 1, 0), (nt, 1))
+    ix = mod.cast(ctx.indices("x")[0, :], dtype)
+
+    def row_fn(it, T, rows, data_rows, params, consts):
+        (cur, tm, tmm) = rows[0]
+        left_row, right_row = data_rows
+        u0, ut0, ixv = consts
+        uxm = mod.roll(tm, 1, 0)
+        uxp = mod.roll(tm, -1, 0)
+        uxm = mod.where(ixv == 0, extrap_quadh(uxp, tm, left_row[0]), uxm)
+        uxp = mod.where(ixv == nx - 1, extrap_quadh(uxm, tm, right_row[0]), uxp)
+        u_t_here = (cur - tm) / dt
+        u_t_prev = mod.where(it == 1, ut0, (tm - tmm) / dt)
+        fu = (u_t_here - u_t_prev) / dt - (uxm - 2 * tm + uxp) / dx**2
+        first = u0 + 0.5 * dt * ut0
+        fu = mod.where(it == 0, (cur - first) * args.kimp, fu)
+        return (fu,)
+
+    (term,) = rowwise_loss_terms(
+        row_fn,
+        (u,),
+        data=(left_utm, right_utm),
+        consts=(extra.init_u, extra.init_ut, ix),
+        nterms=1,
+        hist=2,
+    )
+    return [("fu", Context.Raw(term))]
+
+
 def derived_ut(domain, init_u, uu):
     """Central-difference time derivative of the recovered field."""
     dt = domain.step("t")
@@ -82,6 +127,8 @@ def derived_ut(domain, init_u, uu):
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    parser.add_argument("--kernel", type=str, default="xla", choices=["xla", "pallas"],
+                        help="Residual evaluation path: XLA-fused or the Pallas row-wise kernel")
     parser.add_argument("--Nt", type=int, default=64, help="Grid size in t")
     parser.add_argument("--Nx", type=int, default=64, help="Grid size in x")
     parser.add_argument("--kimp", type=float, default=1, help="Initial-condition weight")
@@ -197,7 +244,8 @@ def make_problem(args):
     )
 
     state = domain.init_state(odil.State(fields={"u": np.zeros(domain.cshape)}))
-    return odil.Problem(operator_wave, domain, extra), state
+    operator = operator_wave_fused if args.kernel == "pallas" else operator_wave
+    return odil.Problem(operator, domain, extra), state
 
 
 def main(argv=None):

@@ -237,3 +237,30 @@ def test_heat_pallas_operator_matches_xla():
     finally:
         os.chdir(cwd)
         sys.path.remove(path)
+
+
+def test_wave_pallas_operator_matches_xla():
+    import importlib
+    import os
+    import sys
+    import tempfile
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "examples", "wave")
+    sys.path.insert(0, path)
+    cwd = os.getcwd()
+    try:
+        wave = importlib.import_module("wave")
+        losses = {}
+        for kernel in ("xla", "pallas"):
+            os.chdir(cwd)
+            argv = ["--Nt", "16", "--Nx", "16", "--kernel", kernel, "--multigrid", "0",
+                    "--optimizer", "adamn", "--lr", "0.01", "--epochs", "20",
+                    "--report_every", "1000", "--history_every", "10", "--plot_every", "1000",
+                    "--frames", "0", "--outdir", tempfile.mkdtemp(), "--seed", "7"]
+            p, s = wave.main(argv)
+            losses[kernel] = float(p.eval_loss_grad(s)[0])
+        assert abs(losses["xla"] - losses["pallas"]) / abs(losses["xla"]) < 1e-6, losses
+    finally:
+        os.chdir(cwd)
+        sys.path.remove(path)
