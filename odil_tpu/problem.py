@@ -31,7 +31,7 @@ __all__ = ["Problem"]
 
 class Problem:
 
-    def __init__(self, operator, domain, extra=None, tracers=None, jit=None):
+    def __init__(self, operator, domain, extra=None, tracers=None, jit=None, remat=False):
         """
         operator: callable(ctx) returning a list of residual fields or
             (name, field) tuples; each field is an equation to drive to zero.
@@ -39,10 +39,14 @@ class Problem:
         extra: static Python payload available as ``ctx.extra`` (not traced).
         tracers: dict of arrays/scalars that become part of the jitted
             signature; ``tracers['epoch']`` is provided by default.
+        remat: rematerialize the operator in the backward pass
+            (``jax.checkpoint``) -- trades FLOPs for memory on grids whose
+            stencil intermediates would not fit HBM.
         """
         self.domain = domain
         self.operator = operator
         self.extra = extra
+        self.remat = remat
         tracers = dict(tracers) if tracers is not None else dict()
         tracers.setdefault("epoch", 0)
         self.tracers = tracers
@@ -156,6 +160,8 @@ class Problem:
             loss, terms, norms = self.loss_terms(arrays, tracers)
             return loss, (terms, norms)
 
+        if self.remat:
+            loss_fn = jax.checkpoint(loss_fn)
         return loss_fn, arrays0
 
     def eval_loss_grad(self, state):
