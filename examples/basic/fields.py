@@ -11,6 +11,11 @@ import argparse
 import matplotlib.pyplot as plt
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
 import odil_tpu as odil
 from odil_tpu import plotutil, printlog
 

@@ -18,302 +18,24 @@ import jax
 import matplotlib.pyplot as plt
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
 import odil_tpu as odil
 from odil_tpu import printlog
-from odil_tpu.core import checkpoint_load, eval_neural_net, extrap_linear, extrap_quadh, struct_to_numpy
-
-
-def initial_temperature(t, x, mod):
-    def bump(z):
-        return mod.exp(-((z - 0.5) ** 2) * 50)
-
-    return bump(x) - bump(-mod.cast(0.5, x.dtype))
-
-
-def true_conductivity(u, mod=np):
-    return 0.02 * mod.exp(-((u - 0.5) ** 2) * 20)
-
-
-def anneal(epoch, period):
-    """Exponential decay factor halving every `period` epochs."""
-    return 0.5 ** (epoch / period) if period else 1
-
-
-def squash_k(raw, mod, kmax):
-    return mod.sigmoid(raw) * kmax
-
-
-def operator_odil(ctx):
-    extra = ctx.extra
-    mod = ctx.mod
-    args = extra.args
-    dt, dx = ctx.step()
-    it, ix = ctx.indices()
-    nt, nx = ctx.size()
-    epoch = ctx.tracers["epoch"]
-
-    def row_samples(key, tshift, frozen):
-        return [ctx.field(key, tshift, s, frozen=frozen) for s in (0, -1, 1)]
-
-    def two_rows(key, frozen=False):
-        if not args.keep_frozen:
-            frozen = False
-        return [row_samples(key, 0, frozen), row_samples(key, -1, frozen)]
-
-    def impose_bc(rows):
-        """Overwrites wrapped halo samples: initial condition in time (linear
-        extrapolation), zero Dirichlet in space (quadratic-half)."""
-        if args.keep_init:
-            u0 = extra.init_u
-            u0row = [u0, mod.roll(u0, 1, 0), mod.roll(u0, -1, 0)]
-            cur, prev = rows
-            for i in range(3):
-                prev[i] = mod.where(it == 0, extrap_linear(cur[i], u0row[i][None, :]), prev[i])
-        for row in rows:
-            row[1] = mod.where(ix == 0, extrap_quadh(row[2], row[0], 0), row[1])
-            row[2] = mod.where(ix == nx - 1, extrap_quadh(row[1], row[0], 0), row[2])
-        return rows
-
-    rows = impose_bc(two_rows("u"))
-    cur, prev = rows
-    u_t = (cur[0] - prev[0]) / dt
-    du_m = ((cur[0] + prev[0]) - (cur[1] + prev[1])) / (2 * dx)
-    du_p = ((cur[2] + prev[2]) - (cur[0] + prev[0])) / (2 * dx)
-
-    # Face temperatures from the frozen stencil (linearizes the flux).
-    fcur, fprev = impose_bc(two_rows("u", frozen=True))
-    uface_m = ((fcur[0] + fprev[0]) + (fcur[1] + fprev[1])) * 0.25
-    uface_p = ((fcur[2] + fprev[2]) + (fcur[0] + fprev[0])) * 0.25
-
-    if args.infer_k:
-        km = squash_k(ctx.neural_net("k_net")(uface_m)[0], mod, args.kmax)
-        kp = squash_k(ctx.neural_net("k_net")(uface_p)[0], mod, args.kmax)
-    else:
-        km = true_conductivity(uface_m, mod=mod)
-        kp = true_conductivity(uface_p, mod=mod)
-
-    flux_div = (du_p * kp - du_m * km) / dx
-    fu = u_t - flux_div
-    if not args.keep_init:
-        fu = mod.where(it == 0, ctx.cast(0), fu)
-    res = [("fu", fu)]
-
-    if extra.imp_size:
-        weight = args.kimp * (np.prod(ctx.size()) / extra.imp_size) ** 0.5
-        res += [("imp", extra.imp_mask * (cur[0] - extra.imp_u) * weight)]
-
-    if args.kxreg:
-        k = args.kxreg * anneal(epoch, args.kxregdecay)
-        u_x = mod.where(ix == 0, ctx.cast(0), (cur[0] - cur[1]) / dx)
-        res += [("xreg", u_x * k)]
-
-    if args.ktreg:
-        k = args.ktreg * anneal(epoch, args.ktregdecay)
-        du = mod.where(it == 0, ctx.cast(0), (cur[0] - prev[0]) / dt)
-        res += [("treg", du * k)]
-
-    if args.kwreg and args.infer_k:
-        ww = ctx.domain.arrays_from_field(ctx.state.fields["k_net"])
-        ww = mod.concatenate([mod.flatten(w) for w in ww], axis=0)
-        k = args.kwreg * anneal(epoch, args.kwregdecay)
-        res += [("wreg", (mod.stop_gradient(ww) - ww) * k)]
-    return res
-
-
-def operator_odil_fused(ctx):
-    """Same discretization as operator_odil, evaluated through the fused
-    row-wise Pallas kernel (odil_tpu.ops) -- including the conductivity
-    neural network, whose weights are differentiable kernel parameters.
-    The weight-regularization term (wreg) has no grid shape and stays on
-    the regular path."""
-    from odil_tpu.context import Context
-    from odil_tpu.ops import rowwise_loss_terms
-
-    extra = ctx.extra
-    mod = ctx.mod
-    args = extra.args
-    dt, dx = map(float, ctx.step())
-    nt, nx = ctx.size()
-    epoch = ctx.tracers["epoch"]
-    dtype = ctx.dtype
-
-    u = ctx.field("u")
-    if args.infer_k:
-        k_params = tuple(ctx.domain.arrays_from_field(ctx.state.fields["k_net"]))
-        nlayers = len(ctx.state.fields["k_net"].weights)
-
-        def k_of(x, params):
-            ws, bs = params[:nlayers], params[nlayers:]
-            h = x[..., None]
-            for i, (w, b) in enumerate(zip(ws, bs)):
-                h = mod.einsum("...i,oi->...o", h, w) + b
-                if i < nlayers - 1:
-                    h = mod.tanh(h)
-            return mod.sigmoid(h[..., 0]) * args.kmax
-
-    else:
-        k_params = ()
-
-        def k_of(x, params):
-            return true_conductivity(x, mod=mod)
-
-    u0 = extra.init_u
-    consts = (
-        u0,
-        mod.roll(u0, 1, 0),
-        mod.roll(u0, -1, 0),
-        mod.cast(ctx.indices("x")[0, :], dtype),  # ix as a plane constant
-        mod.reshape(mod.cast(args.kxreg * anneal(epoch, args.kxregdecay), dtype), (1, 1)),
-        mod.reshape(mod.cast(args.ktreg * anneal(epoch, args.ktregdecay), dtype), (1, 1)),
-    )
-    data = (extra.imp_mask, extra.imp_u) if extra.imp_size else ()
-    imp_weight = (
-        float(args.kimp * (np.prod(ctx.size()) / extra.imp_size) ** 0.5) if extra.imp_size else 0.0
-    )
-
-    def row_fn(it, T, rows, data_rows, params, cons):
-        cur0, prev0 = rows[0]
-        u0c, u0m, u0p, ix, kx, kt = cons
-
-        def shifted(row):
-            return [row, mod.roll(row, 1, 0), mod.roll(row, -1, 0)]
-
-        def impose(cur, prev):
-            if args.keep_init:
-                u0rows = [u0c, u0m, u0p]
-                prev = [
-                    mod.where(it == 0, extrap_linear(c, z), p)
-                    for c, p, z in zip(cur, prev, u0rows)
-                ]
-            out = []
-            for row in (cur, prev):
-                r1 = mod.where(ix == 0, extrap_quadh(row[2], row[0], 0.0), row[1])
-                r2 = mod.where(ix == nx - 1, extrap_quadh(r1, row[0], 0.0), row[2])
-                out.append([row[0], r1, r2])
-            return out
-
-        cur, prev = impose(shifted(cur0), shifted(prev0))
-        u_t = (cur[0] - prev[0]) / dt
-        du_m = ((cur[0] + prev[0]) - (cur[1] + prev[1])) / (2 * dx)
-        du_p = ((cur[2] + prev[2]) - (cur[0] + prev[0])) / (2 * dx)
-
-        if args.keep_frozen:
-            sg = jax.lax.stop_gradient
-            fcur, fprev = impose(shifted(sg(cur0)), shifted(sg(prev0)))
-        else:
-            fcur, fprev = cur, prev
-        uface_m = ((fcur[0] + fprev[0]) + (fcur[1] + fprev[1])) * 0.25
-        uface_p = ((fcur[2] + fprev[2]) + (fcur[0] + fprev[0])) * 0.25
-
-        km = k_of(uface_m, params)
-        kp = k_of(uface_p, params)
-        fu = u_t - (du_p * kp - du_m * km) / dx
-        if not args.keep_init:
-            fu = mod.where(it == 0, 0.0, fu)
-        res = [fu]
-        if extra.imp_size:
-            mask_row, impu_row = data_rows
-            res += [mask_row * (cur[0] - impu_row) * imp_weight]
-        if args.kxreg:
-            u_x = mod.where(ix == 0, 0.0, (cur[0] - cur[1]) / dx)
-            res += [u_x * kx[0, 0]]
-        if args.ktreg:
-            du = mod.where(it == 0, 0.0, (cur[0] - prev[0]) / dt)
-            res += [du * kt[0, 0]]
-        return tuple(res)
-
-    names = ["fu"]
-    if extra.imp_size:
-        names.append("imp")
-    if args.kxreg:
-        names.append("xreg")
-    if args.ktreg:
-        names.append("treg")
-    terms = rowwise_loss_terms(
-        row_fn, (u,), params=k_params, data=data, consts=consts, nterms=len(names), hist=1
-    )
-    res = [(name, Context.Raw(t)) for name, t in zip(names, terms)]
-
-    if args.kwreg and args.infer_k:
-        ww = ctx.domain.arrays_from_field(ctx.state.fields["k_net"])
-        ww = mod.concatenate([mod.flatten(w) for w in ww], axis=0)
-        k = args.kwreg * anneal(epoch, args.kwregdecay)
-        res += [("wreg", (mod.stop_gradient(ww) - ww) * k)]
-    return res
-
-
-def operator_pinn(ctx):
-    extra = ctx.extra
-    mod = ctx.mod
-    args = extra.args
-
-    u_of = ctx.neural_net("u_net")
-    if args.infer_k:
-        k_net = ctx.neural_net("k_net")
-
-        def k_of(u):
-            return squash_k(k_net(u)[0], mod, args.kmax)
-
-    else:
-
-        def k_of(u):
-            return true_conductivity(u, mod=mod)
-
-    t_in = mod.cast(extra.t_inner, ctx.dtype)
-    x_in = mod.cast(extra.x_inner, ctx.dtype)
-
-    # u_t via forward-mode AD along the t input.
-    u_t = jax.jvp(lambda t: u_of(t, x_in)[0], (t_in,), (mod.ones_like(t_in),))[1]
-
-    # q_x = d/dx [ k(u) du/dx ] via nested forward-mode AD along x.
-    def flux(x):
-        u, u_x = jax.jvp(lambda xx: u_of(t_in, xx)[0], (x,), (mod.ones_like(x),))
-        return k_of(u) * u_x
-
-    q_x = jax.jvp(flux, (x_in,), (mod.ones_like(x_in),))[1]
-
-    res = [("eqn", u_t - q_x)]
-
-    u_bound = u_of(mod.cast(extra.t_bound, ctx.dtype), mod.cast(extra.x_bound, ctx.dtype))[0]
-    res += [("bound", u_bound - extra.u_bound)]
-
-    if args.keep_init:
-        u_init = u_of(mod.cast(extra.t_init, ctx.dtype), mod.cast(extra.x_init, ctx.dtype))[0]
-        res += [("init", u_init - extra.u_init)]
-
-    if extra.imp_size:
-        imp_t, imp_x = extra.imp_points.T
-        u_imp_net = u_of(mod.cast(imp_t, ctx.dtype), mod.cast(imp_x, ctx.dtype))[0]
-        u_imp = mod.flatten(mod.cast(extra.imp_u, ctx.dtype))[extra.imp_indices]
-        res += [("imp", (u_imp_net - u_imp) * args.kimp)]
-
-    return res
-
-
-def pick_imposed(domain, args):
-    """Chooses imposed-measurement cells; returns (mask, points, flat indices)."""
-    rng = np.random.default_rng(args.seed)
-    size = int(np.prod(domain.cshape))
-    flat = np.arange(size)
-    if args.imposed == "random":
-        chosen = rng.permutation(flat)[: min(args.nimp, size)]
-    elif args.imposed == "stripe":
-        t = np.asarray(domain.points("t")).flatten()
-        band = flat[np.abs(t[flat] - 0.5) < 1 / 6]
-        chosen = rng.permutation(band)[: min(args.nimp, band.size)]
-    elif args.imposed == "none":
-        chosen = np.array([], dtype=int)
-    else:
-        raise ValueError("Unknown imposed=" + args.imposed)
-    chosen = np.unique(chosen)
-    mask = np.zeros(size)
-    if len(chosen):
-        mask[chosen] = 1
-        coords = [np.asarray(domain.points(i)).flatten() for i in range(domain.ndim)]
-        points = np.array(coords)[:, chosen].T
-    else:
-        points = np.zeros((0, domain.ndim))
-    return mask.reshape(domain.cshape), points, chosen
+from odil_tpu.core import checkpoint_load, eval_neural_net, struct_to_numpy
+from odil_tpu.models.heat import (
+    anneal,
+    initial_temperature,
+    operator_odil,
+    operator_odil_fused,
+    operator_pinn,
+    pick_imposed,
+    squash_k,
+    true_conductivity,
+)
 
 
 def parse_args(argv=None):

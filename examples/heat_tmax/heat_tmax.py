@@ -12,60 +12,17 @@ import argparse
 import matplotlib.pyplot as plt
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
 import odil_tpu as odil
 from odil_tpu import plotutil, printlog
+from odil_tpu.models import heat as model
 
-
-def exact_u(t, x, args):
-    """Solution of u_t = u_xx on [0, pi]: sin(x) exp(-t), time scaled by tmax."""
-    return np.sin(np.asarray(x)) * np.exp(-np.asarray(t) * args.tmax_ref)
-
-
-def clamp_initial_row(u, extra, mod):
-    """Replaces the first time row with the exact initial condition."""
-    return mod.concatenate([extra.u_init[None, :], u[1:]], axis=0)
-
-
-def operator_heat(ctx):
-    mod = ctx.mod
-    dt, dx = ctx.step("t", "x")
-    it, ix = ctx.indices("t", "x", loc="nc")
-    nt, nx = ctx.size("t", "x")
-    coeff = ctx.field("coeff")
-    extra = ctx.extra
-    args = extra.args
-
-    offsets = [(0, 0), (0, -1), (0, 1), (-1, 0), (-1, -1), (-1, 1)]
-
-    def sample(offset):
-        # Shift, clamp the initial row in the unshifted frame, shift back --
-        # keeps ctx.field() as the single source so Newton sees the stencil.
-        raw = ctx.field("u", *offset)
-        unshifted = mod.roll(raw, offset, (0, 1))
-        clamped = clamp_initial_row(unshifted, extra, mod)
-        return mod.roll(clamped, [-s for s in offset], (0, 1))
-
-    u, uxm, uxp, um, umxm, umxp = [sample(o) for o in offsets]
-
-    # Zero Dirichlet via odd reflection at both walls.
-    uxm = mod.where(ix == 0, -u, uxm)
-    uxp = mod.where(ix == nx - 1, -u, uxp)
-    umxm = mod.where(ix == 0, -um, umxm)
-    umxp = mod.where(ix == nx - 1, -um, umxp)
-
-    dt = dt * coeff[0]  # The inferred tmax stretches the time axis.
-
-    u_t = (u - um) / dt
-    lap_prev = (umxm - 2 * um + umxp) / dx**2
-    lap_here = (uxm - 2 * u + uxp) / dx**2
-    fu = u_t - 0.5 * (lap_here + lap_prev)
-    fu = mod.where(it == 0, ctx.cast(0), fu)
-    res = [("eqn", fu)]
-
-    # One measured value at the center of the final row.
-    ixc = nx // 2
-    res += [("imp", args.kimp * (u[-1, ixc] - extra.u_final[ixc]))]
-    return res
+clamp_initial_row = model.clamp_initial_row
+operator_heat = model.operator_tmax
 
 
 def parse_args(argv=None):
@@ -130,37 +87,12 @@ def history_func(problem, state, epoch, history, cbinfo):
 
 def make_problem(args):
     dtype = np.float64 if args.double else np.float32
-    domain = odil.Domain(
-        cshape=(args.Nt, args.Nx),
-        dimnames=("t", "x"),
-        lower=(0, 0),
-        upper=(1, np.pi),
-        dtype=dtype,
-        multigrid=args.multigrid,
-        mg_interp=args.mg_interp,
-        mg_nlvl=args.nlvl,
+    problem, state, extra = model.build_tmax(
+        nt=args.Nt, nx=args.Nx, tmax_ref=args.tmax_ref, tmax_init=args.tmax_init,
+        kimp=args.kimp, dtype=dtype, multigrid=args.multigrid,
+        mg_interp=args.mg_interp, mg_nlvl=args.nlvl, args=args,
     )
-    tt, xx = domain.points(loc="nc")
-    xone = domain.points_1d("x", loc="c")
-    ref_u = exact_u(tt, xx, args)
-    u_init = exact_u(np.full_like(xone, domain.lower[0]), xone, args)
-    u_final = exact_u(np.full_like(xone, domain.upper[0]), xone, args)
-
-    state = domain.init_state(
-        odil.State(
-            fields={
-                "u": odil.Field(np.tile(u_init, [args.Nt + 1, 1]), loc="nc"),
-                "coeff": odil.Array([args.tmax_init]),
-            }
-        )
-    )
-    extra = argparse.Namespace(
-        ref_u=ref_u,
-        u_init=domain.cast(u_init),
-        u_final=domain.cast(u_final),
-        args=args,
-    )
-    return odil.Problem(operator_heat, domain, extra), state
+    return problem, state
 
 
 def main(argv=None):

@@ -12,47 +12,17 @@ import argparse
 import matplotlib.pyplot as plt
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
 import odil_tpu as odil
 from odil_tpu import plotutil, printlog
+from odil_tpu.models import advection as model
 
-
-def exact_u(t, x, args):
-    """Solution of u_t + c_vel u_x = c_diff u_xx + c_src on periodic [-1, 1]."""
-    t = np.asarray(t)
-    x = np.asarray(x)
-    u = np.zeros_like(x, dtype=float)
-    xx = x - t * args.c_vel
-    modes = [1, 2, 3]
-    for i in modes:
-        k = 2 * i * np.pi
-        u = u + np.cos(xx * k) * np.exp(-args.c_diff * k**2 * t)
-    u = u / (2 * len(modes))
-    return u + args.c_src * t
-
-
-def clamp_rows(u, extra, mod):
-    """Imposes the initial and final rows exactly."""
-    return mod.concatenate([extra.u_init[None, :], u[1:-1], extra.u_final[None, :]], axis=0)
-
-
-def operator_adv(ctx):
-    mod = ctx.mod
-    dt, dx = ctx.step("t", "x")
-    coeff = ctx.field("coeff")
-    extra = ctx.extra
-
-    u0 = clamp_rows(ctx.field("u"), extra, mod)
-    offsets = [(0, 0), (0, -1), (0, 1), (-1, 0), (-1, -1), (-1, 1)]
-    u, uxm, uxp, um, umxm, umxp = [
-        mod.roll(u0, [-s for s in o], (0, 1)) for o in offsets
-    ]
-
-    u_t = (u - um) / dt
-    lap = 0.5 * ((uxm - 2 * u + uxp) + (umxm - 2 * um + umxp)) / dx**2
-    upw = 0.5 * ((u - uxm) + (um - umxm)) / dx
-
-    fu = u_t - coeff[0] * lap - coeff[1] + coeff[2] * upw
-    return [fu[1:]]
+clamp_rows = model.clamp_rows
+operator_adv = model.operator
 
 
 def parse_args(argv=None):
@@ -113,37 +83,11 @@ def history_func(problem, state, epoch, history, cbinfo):
 
 def make_problem(args):
     dtype = np.float64 if args.double else np.float32
-    domain = odil.Domain(
-        cshape=(args.Nt, args.Nx),
-        dimnames=("t", "x"),
-        lower=(0, -1),
-        upper=(1, 1),
-        dtype=dtype,
-        multigrid=args.multigrid,
-        mg_interp=args.mg_interp,
-        mg_nlvl=args.nlvl,
+    problem, state, extra = model.build(
+        nt=args.Nt, nx=args.Nx, dtype=dtype, multigrid=args.multigrid,
+        mg_interp=args.mg_interp, mg_nlvl=args.nlvl, args=args,
     )
-    tt, xx = domain.points()
-    xone = domain.points_1d("x", loc="c")
-    ref_u = exact_u(tt, xx, args)
-    u_init = exact_u(xone * 0 + domain.lower[0], xone, args)
-    u_final = exact_u(xone * 0 + domain.upper[0], xone, args)
-
-    state = domain.init_state(
-        odil.State(
-            fields={
-                "coeff": odil.Array([0, 0, 0.001]),
-                "u": odil.Field(None, loc="nc"),
-            }
-        )
-    )
-    extra = argparse.Namespace(
-        ref_u=ref_u,
-        u_init=domain.cast(u_init),
-        u_final=domain.cast(u_final),
-        args=args,
-    )
-    return odil.Problem(operator_adv, domain, extra), state
+    return problem, state
 
 
 def main(argv=None):

@@ -14,86 +14,21 @@ import pickle
 
 import numpy as np
 
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.abspath(_os.path.join(_os.path.dirname(_os.path.abspath(__file__)), "..", "..")))
+
 import odil_tpu as odil
 from odil_tpu import printlog
-from odil_tpu.core import extrap_quadh, restrict_to_coarser, struct_to_numpy
-
-
-def reference_solution(name, args, domain):
-    pts = domain.points()
-    pts = pts if isinstance(pts, tuple) else (pts,)
-    pts = [np.asarray(p) for p in pts]
-    if name == "hat":
-        p = 5
-        u = np.prod([(1 - x) * x * 5 for x in pts], axis=0)
-        return (u**p / (1 + u**p)) ** (1 / p)
-    if name == "osc":
-        k = args.osc_k
-        x, y = pts
-        return np.sin(np.pi * (k * x) ** 2) * np.sin(np.pi * y)
-    raise ValueError("Unknown ref=" + name)
-
-
-def reference_rhs(name, args, domain):
-    if name != "osc":
-        raise ValueError("Exact rhs only available for ref='osc'")
-    pts = domain.points()
-    x, y = [np.asarray(p) for p in pts]
-    pi, k = np.pi, args.osc_k
-    fu = ((-4 * k**4 * pi**2 * x**2 - pi**2) * np.sin(k**2 * pi * x**2)
-          + 2 * k**2 * pi * np.cos(k**2 * pi * x**2)) * np.sin(pi * y)
-    return fu
-
-
-def laplacian_dirichlet(center, minus, plus, steps, indices, sizes, mod):
-    """Discrete Laplacian with zero-Dirichlet ghost cells.
-
-    minus/plus: lists of the shifted fields per axis; ghost values outside
-    the boundary are overwritten by quadratic extrapolation through u=0 at
-    the wall (the roll wraparound is masked here)."""
-    zero = mod.cast(0, center.dtype)
-    lap = 0
-    for d, (um, up) in enumerate(zip(minus, plus)):
-        um = mod.where(indices[d] == 0, extrap_quadh(up, center, zero), um)
-        up = mod.where(indices[d] == sizes[d] - 1, extrap_quadh(um, center, zero), up)
-        lap = lap + (up - 2 * center + um) / steps[d] ** 2
-    return lap
-
-
-def discrete_rhs(u, domain, mod):
-    """RHS consistent with the discretization: Laplacian of the reference."""
-    ndim = domain.ndim
-    steps = [domain.step_by_dim(d) for d in range(ndim)]
-    indices = domain.indices()
-    indices = indices if isinstance(indices, tuple) else (indices,)
-    sizes = [domain.size(d) for d in range(ndim)]
-    center = mod.cast(u, domain.dtype)
-    minus = [mod.roll(center, 1, d) for d in range(ndim)]
-    plus = [mod.roll(center, -1, d) for d in range(ndim)]
-    return laplacian_dirichlet(center, minus, plus, steps, indices, sizes, mod)
-
-
-def operator(ctx):
-    domain = ctx.domain
-    mod = domain.mod
-    args = ctx.extra.args
-    ndim = domain.ndim
-    steps = [domain.step_by_dim(d) for d in range(ndim)]
-    indices = ctx.indices()
-    indices = indices if isinstance(indices, tuple) else (indices,)
-    sizes = [ctx.size(d) for d in range(ndim)]
-
-    center = ctx.field("u")
-    minus = [ctx.field("u", *[-(d == j) for j in range(ndim)]) for d in range(ndim)]
-    plus = [ctx.field("u", *[+(d == j) for j in range(ndim)]) for d in range(ndim)]
-
-    fu = laplacian_dirichlet(center, minus, plus, steps, indices, sizes, mod) - ctx.extra.rhs
-    res = [fu]
-    # Multigrid-norm loss: append the residual restricted to coarser grids.
-    for _ in range(args.mgloss):
-        fu = restrict_to_coarser(fu, loc="c" * ndim, mod=mod)
-        res.append(fu)
-    return res
+from odil_tpu.core import struct_to_numpy
+from odil_tpu.models.poisson import (
+    discrete_rhs,
+    laplacian_dirichlet,
+    operator,
+    reference_rhs,
+    reference_solution,
+)
 
 
 def parse_args(argv=None):

@@ -1,0 +1,206 @@
+"""Velocity-from-tracer model: reconstruct a 2D velocity field from tracer
+images at the initial and final time (the flagship ODIL case).
+
+Discretization: first-order upwind advection on a (t, x, y) space-time grid
+with frozen-velocity switching, imposed tracer endpoints, Laplacian and
+time-derivative velocity regularization (parity with reference
+``examples/velocity_from_tracer/veltracer.py``).
+
+Two interchangeable operators:
+- ``operator(ctx)``: plain XLA path through ``ctx.field`` stencils.
+- ``operator_fused(ctx)``: same math through the fused row-wise Pallas
+  kernel (odil_tpu.ops).
+"""
+
+import argparse
+
+import jax
+import numpy as np
+
+from .. import Domain, Field, Problem, State
+from ..context import Context
+from ..ops import rowwise_loss_terms
+
+__all__ = ["tracer_blob", "operator", "operator_fused", "build"]
+
+
+def tracer_blob(x, y, t):
+    """A single blob advected and sheared by a uniform velocity field."""
+    u0, v0, r0 = 0.2, 0.2, 0.2
+    k = 1 + t
+    dx = (x - u0 * t - 0.3) * k
+    dy = (y - v0 * t - 0.3) / k
+    res = np.maximum(0, 1 - (dx**2 + dy**2) / r0**2)
+    return res**0.2
+
+
+def operator(ctx):
+    mod = ctx.mod
+    extra = ctx.extra
+    args = extra.args
+    dt, dx, dy = ctx.step()
+    it = ctx.indices("t", loc="ncc")
+    nt = ctx.size("t")
+
+    def cross(key, shift_t=0, frozen=False):
+        """5-point spatial cross at time shift_t: [c, xm, xp, ym, yp]."""
+        return [
+            ctx.field(key, shift_t, 0, 0, frozen=frozen),
+            ctx.field(key, shift_t, -1, 0, frozen=frozen),
+            ctx.field(key, shift_t, 1, 0, frozen=frozen),
+            ctx.field(key, shift_t, 0, -1, frozen=frozen),
+            ctx.field(key, shift_t, 0, 1, frozen=frozen),
+        ]
+
+    def laplace(st):
+        c, xm, xp, ym, yp = st
+        return (xp - 2 * c + xm) / dx**2 + (yp - 2 * c + ym) / dy**2
+
+    def upwind(um, u, up, v):
+        """First-order upwind difference switched on the sign of v."""
+        return mod.where(v > 0, u - um, mod.where(v < 0, up - u, (up - um) * 0.5))
+
+    vx_st = cross("vx")
+    vy_st = cross("vy")
+    vx, vy = vx_st[0], vy_st[0]
+    vxf = ctx.field("vx", 0, 0, 0, frozen=True)
+    vyf = ctx.field("vy", 0, 0, 0, frozen=True)
+
+    u_prev = cross("u", shift_t=-1)
+    du_x = upwind(u_prev[1], u_prev[0], u_prev[2], vxf)
+    du_y = upwind(u_prev[3], u_prev[0], u_prev[4], vyf)
+
+    u = ctx.field("u")
+    um = mod.where(it == 1, extra.u_init[None, :], u_prev[0])
+    fu = (u - um) / dt + vx * du_x / dx + vy * du_y / dy
+    fu = mod.where(it == 0, (u - extra.u_init[None, :]) / dx, fu)
+
+    zero = ctx.cast(0)
+    fimp = mod.where(it == nt - 1, (u - extra.u_final[None, :]) / dx, zero)
+    res = [fu, fimp * args.kimp]
+
+    if args.kxreg:
+        res += [laplace(vx_st) * args.kxreg, laplace(vy_st) * args.kxreg]
+
+    if args.ktreg:
+        k = args.ktreg / dt
+        for key in ("vx", "vy"):
+            dv = (ctx.field(key) - ctx.field(key, -1, 0, 0)) * k
+            res += [mod.where(it == 0, zero, dv)]
+
+    return res
+
+
+def operator_fused(ctx):
+    """Same discretization through the fused row-wise Pallas kernel: one
+    pass over the state in VMEM, recompute-based backward, loss terms
+    returned as Context.Raw scalars."""
+    mod = ctx.mod
+    extra = ctx.extra
+    args = extra.args
+    dt, dx, dy = map(float, ctx.step())
+    kimp, kxreg, ktreg = args.kimp, args.kxreg, args.ktreg
+
+    u = ctx.field("u")
+    vx = ctx.field("vx")
+    vy = ctx.field("vy")
+
+    def row_fn(it, T, rows, data_rows, params, consts):
+        (u_r, vx_r, vy_r) = rows
+        u0, u1 = consts
+        ucur, uprev = u_r
+        vxc, vxp = vx_r
+        vyc, vyp = vy_r
+
+        def upwind(um, uc, up, v):
+            return mod.where(v > 0, uc - um, mod.where(v < 0, up - uc, (up - um) * 0.5))
+
+        vxf = jax.lax.stop_gradient(vxc)
+        vyf = jax.lax.stop_gradient(vyc)
+        du_x = upwind(mod.roll(uprev, 1, 0), uprev, mod.roll(uprev, -1, 0), vxf)
+        du_y = upwind(mod.roll(uprev, 1, 1), uprev, mod.roll(uprev, -1, 1), vyf)
+        um = mod.where(it == 1, u0, uprev)
+        fu = (ucur - um) / dt + vxc * du_x / dx + vyc * du_y / dy
+        fu = mod.where(it == 0, (ucur - u0) / dx, fu)
+        fimp = mod.where(it == T - 1, (ucur - u1) / dx, 0.0) * kimp
+        res = [fu, fimp]
+
+        def laplace(q):
+            return (mod.roll(q, -1, 0) - 2 * q + mod.roll(q, 1, 0)) / dx**2 + (
+                mod.roll(q, -1, 1) - 2 * q + mod.roll(q, 1, 1)
+            ) / dy**2
+
+        if kxreg:
+            res += [laplace(vxc) * kxreg, laplace(vyc) * kxreg]
+        if ktreg:
+            k = ktreg / dt
+            res += [
+                mod.where(it == 0, 0.0, (vxc - vxp) * k),
+                mod.where(it == 0, 0.0, (vyc - vyp) * k),
+            ]
+        return tuple(res)
+
+    nterms = 2 + (2 if kxreg else 0) + (2 if ktreg else 0)
+    terms = rowwise_loss_terms(
+        row_fn, (u, vx, vy), consts=(extra.u_init, extra.u_final), nterms=nterms, hist=1
+    )
+    return [Context.Raw(t) for t in terms]
+
+
+def build(
+    nt=64,
+    nx=64,
+    ny=64,
+    kxreg=0.01,
+    ktreg=1.0,
+    kimp=10.0,
+    dtype=np.float32,
+    multigrid=True,
+    mg_interp="conv",
+    mg_nlvl=None,
+    kernel="xla",
+    mesh=None,
+    partition=None,
+    args=None,
+):
+    """Builds the velocity-from-tracer problem.
+
+    Returns (problem, state, extra).  `args` may supply a prebuilt option
+    namespace (the example CLI does); otherwise one is synthesized from the
+    keyword arguments."""
+    if args is None:
+        args = argparse.Namespace(kxreg=kxreg, ktreg=ktreg, kimp=kimp)
+    domain = Domain(
+        cshape=(nt, nx, ny),
+        dimnames=("t", "x", "y"),
+        lower=(0, 0, 0),
+        upper=(1, 1, 1),
+        dtype=dtype,
+        multigrid=multigrid,
+        mg_interp=mg_interp,
+        mg_nlvl=mg_nlvl,
+        mesh=mesh,
+        partition=partition,
+    )
+    x, y = map(np.asarray, domain.points("x", "y", loc=".cc"))
+    u_init = tracer_blob(x, y, 0)
+    u_final = tracer_blob(x, y, 1)
+
+    state = State()
+    # loc='ncc': node-centered along t, cell-centered along x, y.
+    for key in ("u", "vx", "vy"):
+        state.fields[key] = Field(None, loc="ncc")
+    state = domain.init_state(state)
+
+    exact_uu = np.zeros(domain.get_field_shape(loc="ncc"))
+    exact_uu[0] = u_init
+    exact_uu[-1] = u_final
+
+    extra = argparse.Namespace(
+        u_init=domain.cast(u_init),
+        u_final=domain.cast(u_final),
+        exact_uu=exact_uu,
+        args=args,
+    )
+    op = operator_fused if kernel == "pallas" else operator
+    return Problem(op, domain, extra), state, extra
