@@ -212,3 +212,48 @@ def test_optimize_gauss_newton_driver_preconditioned():
     )
     odil.util.optimize(args, "gn", problem, state)
     check_state(problem, state, tol=1e-6)
+
+
+def test_linearize_scalar_residual_term():
+    """A scalar residual from grid samples (heat_tmax's one-point
+    measurement) must assemble into a single Jacobian row."""
+    import jax
+
+    domain = odil.Domain(cshape=(3, 4), dimnames=["t", "x"], dtype=np.float64)
+    state = domain.init_state(
+        odil.State(fields={"u": odil.Field(np.random.RandomState(0).rand(3, 4), loc="cc")})
+    )
+
+    def operator(ctx):
+        u = ctx.field("u")
+        return [("grid", u - 1.0), ("point", 2.0 * (u[-1, 1] - 0.5))]
+
+    problem = odil.Problem(operator, domain)
+    vector, matrix = problem.linearize(state)
+    assert matrix.shape == (12 + 1, 12)
+    # The scalar row touches exactly one unknown with coefficient 2.
+    row = matrix.tocsr()[12].toarray().ravel()
+    assert np.count_nonzero(row) == 1
+    assert row[2 * 4 + 1] == 2.0
+    # And matches the jvp of the residual function.
+    f, x0 = problem.residual_fn(state)
+    v = np.random.RandomState(1).normal(size=x0.shape)
+    jv = np.asarray(jax.jvp(f, (x0,), (domain.mod.cast(v, domain.dtype),))[1])
+    np.testing.assert_allclose(matrix @ v, jv, atol=1e-12)
+
+
+def test_gauss_newton_heat_tmax_model():
+    """Matrix-free GN on the tmax-inference model: the scalar unknown moves
+    toward the true value."""
+    from odil_tpu.models import heat as model
+
+    problem, state, extra = model.build_tmax(nt=16, nx=16, multigrid=False)
+    args = argparse.Namespace(
+        epochs=5, epoch_start=0, seed=0,
+        linsolver="cg", linsolver_maxiter=300, linsolver_tol=1e-10,
+        linsolver_damp=1e-3, linsolver_dampdiag=0,
+    )
+    t0 = float(np.asarray(problem.domain.field(state, "coeff"))[0])
+    odil.util.optimize(args, "gn", problem, state)
+    t1 = float(np.asarray(problem.domain.field(state, "coeff"))[0])
+    assert abs(t1 - 4.5) < abs(t0 - 4.5), (t0, t1)
