@@ -240,21 +240,59 @@ def _bwd_rule(row_fn, nterms, hist, interpret, saved, g):
 rowwise_sumsq.defvjp(_fwd_rule, _bwd_rule)
 
 
+def _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist):
+    """Pure-XLA evaluation of the same row-wise semantics: whole-array rolls
+    along the time axis, then vmap of the row function over rows.  Used off
+    TPU and when the backward kernel would not fit VMEM."""
+    T = fields[0].shape[0]
+    rows = tuple(
+        tuple(jnp.roll(f, o, axis=0) for o in range(hist + 1)) for f in fields
+    )
+    it = jnp.arange(T, dtype=jnp.int32)
+
+    def per_row(it_i, row_planes, data_planes):
+        return tuple(row_fn(it_i, T, row_planes, data_planes, params, consts))
+
+    res = jax.vmap(per_row, in_axes=(0, 0, 0))(it, rows, tuple(data))
+    return [jnp.mean(jnp.square(r)) for r in res]
+
+
+def _backward_vmem_estimate(fields, params, data, consts, nterms, hist):
+    """Rough bytes of live VMEM for one backward program."""
+    plane_bytes = int(np.prod(fields[0].shape[1:])) * fields[0].dtype.itemsize
+    span = 2 * hist + 1
+    nplanes = (
+        len(fields) * span          # input rows
+        + len(fields)               # output rows
+        + len(data) * (hist + 1)    # data rows
+        + 3 * nterms                # residuals + cotangents + temps
+        + 6                         # working margin
+    )
+    const_bytes = sum(int(np.prod(c.shape)) * c.dtype.itemsize for c in consts)
+    param_bytes = sum(int(np.prod(p.shape)) * p.dtype.itemsize for p in params)
+    return plane_bytes * nplanes + 2 * (const_bytes + param_bytes)
+
+
 def rowwise_loss_terms(row_fn, fields, params=(), data=(), consts=(), nterms=1, hist=1, interpret=None):
     """Per-term mean-squared losses through the fused kernel.
 
     Equivalent to ``[mean(residual_k**2)]`` with residuals over the full
     (T, *plane) grid.  1-D planes are padded to 2-D internally to satisfy
     TPU tiling; (1, 1) consts pass scalars.  `interpret=True` forces the
-    Pallas interpreter (automatic off-TPU)."""
+    Pallas interpreter; off TPU, or when the backward working set would not
+    fit VMEM (~large planes), an equivalent vmap-over-rows XLA path runs
+    instead."""
     fields = tuple(fields)
     params = tuple(params)
     data = tuple(data)
     consts = tuple(consts)
-    if interpret is None:
-        interpret = not _on_tpu()
     T = fields[0].shape[0]
     plane = int(np.prod(fields[0].shape[1:]))
+    if interpret is None:
+        vmem = _backward_vmem_estimate(fields, params, data, consts, nterms, hist)
+        if not _on_tpu() or vmem > 14 * 1024 * 1024:
+            return _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist)
+        interpret = False
 
     if fields[0].ndim == 2:
         # (T, N) -> (T, 1, N): TPU block shapes need a unit sublane axis.

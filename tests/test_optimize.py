@@ -145,3 +145,45 @@ def test_compute_task_epochs():
     assert 10 in tasks and 100 in tasks
     assert 3 in tasks  # history_full
     assert 11 not in tasks
+
+
+def test_epoch_tracer_semantics_in_scan():
+    """The scanned Adam loop must feed tracers['epoch'] = N-1 when computing
+    epoch N, matching the reference's callback-driven tracer update order
+    (annealed loss terms depend on this)."""
+    import jax.numpy as jnp
+
+    domain = odil.Domain(cshape=(4,), dimnames=["x"])
+    seen = []
+
+    def operator(ctx):
+        u = ctx.field("u")
+        w = 2.0 ** (-ctx.tracers["epoch"] / 10.0)
+        return [(u - 1.0) * w]
+
+    state = domain.init_state(odil.State(fields={"u": None}))
+    problem = odil.Problem(operator, domain)
+    loss_fn, arrays = problem.make_loss_fn(state)
+
+    # Eager reference: epoch N uses tracer N-1.
+    import jax
+
+    x = [jnp.asarray(a) for a in arrays]
+    m = [jnp.zeros_like(a) for a in x]
+    v = [jnp.zeros_like(a) for a in x]
+    lr, b1, b2, eps = 0.1, 0.9, 0.999, 1e-7
+    for epoch in range(1, 6):
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(x, {"epoch": epoch - 1})
+        t = float(epoch)
+        alpha = lr * (1 - b2**t) ** 0.5 / (1 - b1**t)
+        m = [mi + (g - mi) * (1 - b1) for mi, g in zip(m, grads)]
+        v = [vi + (jnp.square(g) - vi) * (1 - b2) for vi, g in zip(v, grads)]
+        x = [xi - mi * alpha / (jnp.sqrt(vi) + eps) for xi, mi, vi in zip(x, m, v)]
+
+    # Scanned optimizer.
+    from odil_tpu.optim.adam import AdamOptimizer
+
+    opt = AdamOptimizer(dtype=domain.dtype)
+    opt.bind(loss_fn, tracers=problem.tracers, task_epochs=[5], names=[""])
+    out, _ = opt.run([jnp.asarray(a) for a in arrays], epochs=5, lr=lr)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0]), rtol=1e-6)

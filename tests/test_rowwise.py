@@ -264,3 +264,30 @@ def test_wave_pallas_operator_matches_xla():
     finally:
         os.chdir(cwd)
         sys.path.remove(path)
+
+
+def test_vmap_fallback_matches_interpret():
+    """The automatic XLA vmap path (off-TPU / VMEM-overflow fallback) must
+    equal the kernel in interpret mode, values and gradients."""
+    T, N = 8, 16
+    u, v = make_fields(T, N, nf=2, seed=9)
+
+    def row_fn(it, T_, rows, data_rows, params, consts):
+        (u_rows, v_rows) = rows
+        ucur, uprev = u_rows
+        vcur, _ = v_rows
+        r1 = (ucur - uprev) + vcur * (jnp.roll(ucur, -1) - jnp.roll(ucur, 1)) * 0.5
+        r1 = jnp.where(it == 0, 0.0, r1)
+        return (r1,)
+
+    def loss(u, v, interpret):
+        (t,) = rowwise_loss_terms(row_fn, (u, v), nterms=1, hist=1, interpret=interpret)
+        return t
+
+    li = float(loss(u, v, True))
+    lf = float(loss(u, v, None))  # CPU -> vmap fallback
+    np.testing.assert_allclose(li, lf, rtol=1e-6)
+    gi = jax.grad(lambda a, b: loss(a, b, True), argnums=(0, 1))(u, v)
+    gf = jax.grad(lambda a, b: loss(a, b, None), argnums=(0, 1))(u, v)
+    for a, b in zip(gi, gf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
