@@ -25,7 +25,7 @@ compatibility and run the same separable algorithm.
 
 __all__ = ["interp_to_finer", "restrict_to_coarser"]
 
-_METHODS = (None, "stack", "conv")
+_METHODS = (None, "stack", "conv", "matmul")
 
 
 def _axslice(ndim, axis, sl):
@@ -97,6 +97,37 @@ def _restrict_axis(u, axis, loc, xp):
     raise ValueError(f"Invalid loc character '{loc}'")
 
 
+_INTERP_MATRICES = {}
+
+
+def _interp_matrix(n, loc, dtype):
+    """Dense (n_fine, n) one-level prolongation matrix along one axis,
+    built by applying the separable rule to an identity -- numerically the
+    same operator, reassociated.  Cached per (n, loc, dtype)."""
+    import numpy as _np
+
+    key = (n, loc, _np.dtype(dtype).str)
+    mat = _INTERP_MATRICES.get(key)
+    if mat is None:
+        eye = _np.eye(n, dtype=_np.float64)
+        cols = _interp_axis(eye.T, 1, loc, _np)  # (n, n_fine) rows=inputs
+        mat = _np.ascontiguousarray(cols.T).astype(dtype)
+        _INTERP_MATRICES[key] = mat
+    return mat
+
+
+def _interp_axis_matmul(u, axis, loc, xp):
+    """Interpolation along `axis` as a dense matmul -- on TPU this runs on
+    the MXU and avoids the lane-interleave shuffle entirely.  The per-level
+    matrices are tiny (n_fine x n)."""
+    if loc == ".":
+        return u
+    mat = xp.asarray(_interp_matrix(u.shape[axis], loc, u.dtype))
+    moved = xp.moveaxis(u, axis, -1)
+    out = moved @ mat.T
+    return xp.moveaxis(out, -1, axis)
+
+
 def _resolve_xp(mod):
     if mod is not None and hasattr(mod, "xp"):
         return mod.xp
@@ -122,13 +153,21 @@ def interp_to_finer(u, loc=None, method=None, mod=None, depth=1):
     loc = loc or "c" * u.ndim
     if len(loc) != u.ndim:
         raise ValueError(f"Expected len(loc)=={u.ndim}, got loc='{loc}'")
+    use_matmul = method == "matmul"
+    if not use_matmul and getattr(xp, "__name__", "") != "numpy":
+        # TPU-first default: the dense per-axis form runs on the MXU and
+        # avoids lane-interleave shuffles; numerically the same operator.
+        import jax
+
+        use_matmul = jax.default_backend() == "tpu"
+    apply_axis = _interp_axis_matmul if use_matmul else _interp_axis
     for _ in range(depth):
         # Separable, so the axis order is free: process minor axes first,
         # while the array is smallest -- the interleave on the TPU lane
         # (last) axis is the expensive shuffle, and this runs it on 2^(d-1)x
         # fewer elements than major-axis-first order.
         for axis in reversed(range(u.ndim)):
-            u = _interp_axis(u, axis, loc[axis], xp)
+            u = apply_axis(u, axis, loc[axis], xp)
     return u
 
 
