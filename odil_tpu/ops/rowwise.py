@@ -219,6 +219,254 @@ def _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g):
     return tuple(outs[:nf]), tuple(outs[nf:])
 
 
+# -- Multi-row blocked variant ---------------------------------------------
+# B rows per program: fewer grid steps and larger DMAs, which matters when
+# planes are small (2D problems, coarse 3D grids).  Needs B >= hist, B | T.
+# The row function stays un-blocked: it runs under jax.vmap over the block.
+
+
+def _block_spec(shape, B, offset_blocks, nb):
+    """BlockSpec of B aligned rows at block offset `offset_blocks` (mod nb)."""
+    ndim = len(shape)
+    zeros = (0,) * (ndim - 1)
+
+    def index_map(p):
+        return ((p + offset_blocks) % nb,) + zeros
+
+    return pl.BlockSpec((B,) + tuple(shape[1:]), index_map)
+
+
+def _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index):
+    T = fields[0].shape[0]
+    nb = T // B
+    nf, np_, nd = len(fields), len(params), len(data)
+
+    def kernel(*refs):
+        pos = 0
+        field_refs = refs[pos : pos + nf * 2]
+        pos += nf * 2
+        data_refs = refs[pos : pos + nd]
+        pos += nd
+        idx_ref = refs[pos]
+        pos += 1
+        const_refs = refs[pos : pos + len(consts)]
+        pos += len(consts)
+        param_refs = refs[pos : pos + np_]
+        out_ref = refs[-1]
+
+        p = pl.program_id(0)
+        consts_v = tuple(r[...] for r in const_refs)
+        params_v = tuple(r[...] for r in param_refs)
+        its = idx_ref[...][:, 0]  # (B,) global row indices.
+
+        rows = []
+        for f in range(nf):
+            allr = jnp.concatenate([field_refs[2 * f][...], field_refs[2 * f + 1][...]], axis=0)
+            rows.append(tuple(allr[B - o : 2 * B - o] for o in range(hist + 1)))
+        rows = tuple(rows)
+        data_rows = tuple(r[...] for r in data_refs)
+
+        def one(it_i, rows_i, data_i):
+            return tuple(row_fn(it_i, T, rows_i, data_i, params_v, consts_v))
+
+        res = jax.vmap(one, in_axes=(0, 0, 0))(its, rows, data_rows)
+        sums = jnp.stack([jnp.sum(r * r) for r in res])
+
+        @pl.when(p == 0)
+        def _():
+            out_ref[0, :] = jnp.zeros((nterms,), out_ref.dtype)
+
+        out_ref[0, :] += sums
+
+    in_specs = []
+    inputs = []
+    for f in fields:
+        in_specs += [_block_spec(f.shape, B, -1, nb), _block_spec(f.shape, B, 0, nb)]
+        inputs += [f, f]
+    for d in data:
+        in_specs.append(_block_spec(d.shape, B, 0, nb))
+        inputs.append(d)
+    in_specs.append(_block_spec(row_index.shape, B, 0, nb))
+    inputs.append(row_index)
+    in_specs += [_whole_spec(c.shape) for c in consts]
+    inputs += list(consts)
+    in_specs += [_whole_spec(p.shape) for p in params]
+    inputs += list(params)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nterms), lambda p: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, nterms), fields[0].dtype),
+        interpret=interpret,
+    )(*inputs)
+    return out[0]
+
+
+def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index, g):
+    """Program p owns output rows pB..pB+B-1, accumulating cotangents from
+    its own residual block plus the first `hist` residual rows of block p+1
+    (the rows whose stencils reach back into this block)."""
+    T = fields[0].shape[0]
+    nb = T // B
+    nf, np_, nd = len(fields), len(params), len(data)
+    gmat = jnp.reshape(g, (1, nterms))
+
+    def kernel(*refs):
+        pos = 0
+        field_refs = refs[pos : pos + nf * 3]
+        pos += nf * 3
+        data_refs = refs[pos : pos + nd * 2]
+        pos += nd * 2
+        idx_refs = refs[pos : pos + 2]
+        pos += 2
+        const_refs = refs[pos : pos + len(consts)]
+        pos += len(consts)
+        param_refs = refs[pos : pos + np_]
+        pos += np_
+        g_ref = refs[pos]
+        out_field_refs = refs[pos + 1 : pos + 1 + nf]
+        out_param_refs = refs[pos + 1 + nf :]
+
+        p = pl.program_id(0)
+        consts_v = tuple(r[...] for r in const_refs)
+        params_v = tuple(r[...] for r in param_refs)
+        gvec = g_ref[0]
+
+        big = [
+            jnp.concatenate(
+                [field_refs[3 * f][...], field_refs[3 * f + 1][...], field_refs[3 * f + 2][...]],
+                axis=0,
+            )
+            for f in range(nf)
+        ]  # (3B, *plane); global row pB + d sits at index B + d.
+        dbig = [
+            jnp.concatenate([data_refs[2 * d][...], data_refs[2 * d + 1][...]], axis=0)
+            for d in range(nd)
+        ]  # (2B, *plane); residual row pB + s reads index s.
+        ibig = jnp.concatenate([idx_refs[0][...], idx_refs[1][...]], axis=0)[:, 0]  # (2B,)
+
+        def residuals_of(it_i, flat_and_params, data_i):
+            flat_rows = flat_and_params[: nf * (hist + 1)]
+            pv = flat_and_params[nf * (hist + 1) :]
+            rows = tuple(
+                tuple(flat_rows[f * (hist + 1) + m] for m in range(hist + 1)) for f in range(nf)
+            )
+            return tuple(row_fn(it_i, T, rows, data_i, pv, consts_v))
+
+        def row_cotangents(it_i, flat_in, data_i):
+            res, vjp_fn = jax.vjp(lambda *a: residuals_of(it_i, a, data_i), *flat_in)
+            w = tuple(2.0 * gvec[k] * res[k] for k in range(nterms))
+            return vjp_fn(w)
+
+        # Own residual block: rows s = 0..B-1 read inputs big[B + s - m].
+        own_inputs = tuple(
+            big[f][B - m : 2 * B - m] for f in range(nf) for m in range(hist + 1)
+        ) + tuple(params_v)
+        own_data = tuple(db[:B] for db in dbig)
+        own_axes = (0,) * (nf * (hist + 1)) + (None,) * np_
+        cots = jax.vmap(row_cotangents, in_axes=(0, own_axes, 0))(ibig[:B], own_inputs, own_data)
+
+        accs = []
+        for f in range(nf):
+            acc = jnp.zeros((B,) + fields[f].shape[1:], fields[f].dtype)
+            for o in range(hist + 1):
+                c_o = cots[f * (hist + 1) + o]  # (B, *plane): row s's cot to row s-o.
+                if o == 0:
+                    acc = acc + c_o
+                else:
+                    acc = acc.at[: B - o].add(c_o[o:])
+            accs.append(acc)
+
+        param_accs = [jnp.sum(cots[nf * (hist + 1) + q], axis=0) for q in range(np_)]
+
+        # Spill: the first `hist` residual rows of block p+1.
+        for s2 in range(hist):
+            flat_in = tuple(
+                big[f][2 * B + s2 - m] for f in range(nf) for m in range(hist + 1)
+            ) + tuple(params_v)
+            data_i = tuple(db[B + s2] for db in dbig)
+            c = row_cotangents(ibig[B + s2], flat_in, data_i)
+            for f in range(nf):
+                for o in range(s2 + 1, hist + 1):
+                    accs[f] = accs[f].at[B + s2 - o].add(c[f * (hist + 1) + o])
+
+        for f in range(nf):
+            out_field_refs[f][...] = accs[f]
+        for q in range(np_):
+
+            @pl.when(p == 0)
+            def _(q=q):
+                out_param_refs[q][...] = jnp.zeros(params[q].shape, params[q].dtype)
+
+            out_param_refs[q][...] += param_accs[q]
+
+    in_specs = []
+    inputs = []
+    for f in fields:
+        in_specs += [
+            _block_spec(f.shape, B, -1, nb),
+            _block_spec(f.shape, B, 0, nb),
+            _block_spec(f.shape, B, 1, nb),
+        ]
+        inputs += [f, f, f]
+    for d in data:
+        in_specs += [_block_spec(d.shape, B, 0, nb), _block_spec(d.shape, B, 1, nb)]
+        inputs += [d, d]
+    in_specs += [_block_spec(row_index.shape, B, 0, nb), _block_spec(row_index.shape, B, 1, nb)]
+    inputs += [row_index, row_index]
+    in_specs += [_whole_spec(c.shape) for c in consts]
+    inputs += list(consts)
+    in_specs += [_whole_spec(p.shape) for p in params]
+    inputs += list(params)
+    in_specs.append(_whole_spec((1, nterms)))
+    inputs.append(gmat)
+
+    out_specs = [_block_spec(f.shape, B, 0, nb) for f in fields] + [
+        _whole_spec(p.shape) for p in params
+    ]
+    out_shapes = [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields] + [
+        jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*inputs)
+    return tuple(outs[:nf]), tuple(outs[nf:])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def rowwise_sumsq_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index):
+    return _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index)
+
+
+def _fwd_rule_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index):
+    out = _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index)
+    return out, (fields, params, data, consts, row_index)
+
+
+def _bwd_rule_blocked(row_fn, nterms, hist, interpret, B, saved, g):
+    fields, params, data, consts, row_index = saved
+    dfields, dparams = _backward_blocked(
+        row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index, g
+    )
+    return (
+        dfields,
+        dparams,
+        tuple(jnp.zeros_like(d) for d in data),
+        tuple(jnp.zeros_like(c) for c in consts),
+        jnp.zeros_like(row_index),
+    )
+
+
+rowwise_sumsq_blocked.defvjp(_fwd_rule_blocked, _bwd_rule_blocked)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def rowwise_sumsq(row_fn, nterms, hist, interpret, fields, params, data, consts):
     return _forward(row_fn, nterms, hist, interpret, fields, params, data, consts)
@@ -273,7 +521,20 @@ def _backward_vmem_estimate(fields, params, data, consts, nterms, hist):
     return plane_bytes * nplanes + 2 * (const_bytes + param_bytes)
 
 
-def rowwise_loss_terms(row_fn, fields, params=(), data=(), consts=(), nterms=1, hist=1, interpret=None):
+def _auto_block_rows(T, plane_bytes, hist):
+    """Rows per program: bundle rows until the per-program block reaches
+    ~256 KB (good DMA granularity), bounded by divisibility and hist."""
+    target = max(1, (256 * 1024) // max(plane_bytes, 1))
+    best = 1
+    for B in range(2, min(T, 32) + 1):
+        if T % B == 0 and B >= hist and B <= target:
+            best = B
+    return best
+
+
+def rowwise_loss_terms(
+    row_fn, fields, params=(), data=(), consts=(), nterms=1, hist=1, interpret=None, block_rows=None
+):
     """Per-term mean-squared losses through the fused kernel.
 
     Equivalent to ``[mean(residual_k**2)]`` with residuals over the full
@@ -281,18 +542,43 @@ def rowwise_loss_terms(row_fn, fields, params=(), data=(), consts=(), nterms=1, 
     TPU tiling; (1, 1) consts pass scalars.  `interpret=True` forces the
     Pallas interpreter; off TPU, or when the backward working set would not
     fit VMEM (~large planes), an equivalent vmap-over-rows XLA path runs
-    instead."""
+    instead.  For small planes, several rows run per program
+    (`block_rows`, chosen automatically)."""
     fields = tuple(fields)
     params = tuple(params)
     data = tuple(data)
     consts = tuple(consts)
     T = fields[0].shape[0]
     plane = int(np.prod(fields[0].shape[1:]))
+    plane_bytes = plane * fields[0].dtype.itemsize
     if interpret is None:
         vmem = _backward_vmem_estimate(fields, params, data, consts, nterms, hist)
         if not _on_tpu() or vmem > 14 * 1024 * 1024:
             return _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist)
         interpret = False
+    if block_rows is None:
+        block_rows = _auto_block_rows(T, plane_bytes, hist)
+    if block_rows > 1 and T % block_rows == 0 and block_rows >= hist:
+        row_index = jnp.arange(T, dtype=jnp.int32).reshape(T, 1)
+        if fields[0].ndim == 2:
+            fields2 = tuple(f[:, None, :] for f in fields)
+            data2 = tuple(d[:, None, :] if d.ndim == 2 else d for d in data)
+            consts2 = tuple(c[None, :] if c.ndim == 1 else c for c in consts)
+
+            def row_fn2(it, T_, rows, data_rows, pv, cons):
+                rows1 = tuple(tuple(p[0] for p in f_rows) for f_rows in rows)
+                data1 = tuple(p[0] if d.ndim == 2 else p for p, d in zip(data_rows, data))
+                cons1 = tuple(c[0] if (o.ndim == 1) else c for c, o in zip(cons, consts))
+                return tuple(r[None, :] for r in row_fn(it, T_, rows1, data1, pv, cons1))
+
+            sums = rowwise_sumsq_blocked(
+                row_fn2, nterms, hist, interpret, block_rows, fields2, params, data2, consts2, row_index
+            )
+        else:
+            sums = rowwise_sumsq_blocked(
+                row_fn, nterms, hist, interpret, block_rows, fields, params, data, consts, row_index
+            )
+        return [sums[k] / (T * plane) for k in range(nterms)]
 
     if fields[0].ndim == 2:
         # (T, N) -> (T, 1, N): TPU block shapes need a unit sublane axis.

@@ -291,3 +291,62 @@ def test_vmap_fallback_matches_interpret():
     gf = jax.grad(lambda a, b: loss(a, b, None), argnums=(0, 1))(u, v)
     for a, b in zip(gi, gf):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def test_blocked_matches_unblocked():
+    """Multi-row blocked kernel == per-row kernel, values and gradients,
+    including params, data, hist=2, and 1D planes."""
+    T, N = 8, 16
+    u, v = make_fields(T, N, nf=2, seed=11)
+    mask = jnp.asarray(np.random.default_rng(3).integers(0, 2, (T, N)), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(4).normal(size=(3,)) * 0.3, jnp.float32)
+
+    def row_fn(it, T_, rows, data_rows, params, consts):
+        (u_rows, v_rows) = rows
+        (m,) = data_rows
+        (wv,) = params
+        cur, tm, tmm = u_rows
+        vcur = v_rows[0]
+        r1 = (cur - 2 * tm + tmm) + vcur * (jnp.roll(cur, -1) - jnp.roll(cur, 1)) * wv[0]
+        r1 = jnp.where(it <= 1, wv[1] * cur, r1) * m
+        r2 = (vcur - v_rows[1]) * wv[2]
+        r2 = jnp.where(it == 0, 0.0, r2)
+        return (r1, r2)
+
+    def loss(u, v, w, block_rows):
+        t1, t2 = rowwise_loss_terms(
+            row_fn, (u, v), params=(w,), data=(mask,), nterms=2, hist=2,
+            interpret=True, block_rows=block_rows,
+        )
+        return t1 + 0.3 * t2
+
+    l1 = float(loss(u, v, w, 1))
+    l4 = float(loss(u, v, w, 4))
+    np.testing.assert_allclose(l1, l4, rtol=1e-6)
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(u, v, w, 1)
+    g4 = jax.grad(loss, argnums=(0, 1, 2))(u, v, w, 4)
+    for a, b in zip(g1, g4):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_blocked_2d_planes():
+    T, NX, NY = 8, 8, 8
+    rng = np.random.default_rng(12)
+    u = jnp.asarray(rng.normal(size=(T, NX, NY)), jnp.float32)
+
+    def row_fn(it, T_, rows, data_rows, params, consts):
+        ((cur, prev),) = rows
+        r = (cur - prev) + 0.1 * (jnp.roll(cur, -1, 0) - jnp.roll(cur, 1, 1))
+        r = jnp.where(it == 0, 0.0, r)
+        return (r,)
+
+    def loss(u, block_rows):
+        (t,) = rowwise_loss_terms(
+            row_fn, (u,), nterms=1, hist=1, interpret=True, block_rows=block_rows
+        )
+        return t
+
+    np.testing.assert_allclose(float(loss(u, 1)), float(loss(u, 4)), rtol=1e-6)
+    g1 = jax.grad(lambda a: loss(a, 1))(u)
+    g4 = jax.grad(lambda a: loss(a, 4))(u)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g4), rtol=1e-5, atol=1e-6)
