@@ -557,7 +557,11 @@ def rowwise_loss_terms(
             return _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist)
         interpret = False
     if block_rows is None:
-        block_rows = _auto_block_rows(T, plane_bytes, hist)
+        # Blocked mode is opt-in: it improves small-plane throughput but the
+        # vmapped-vjp kernel inflates Mosaic compile time substantially
+        # (minutes per shape at B~13 on v5e).  Pass block_rows explicitly
+        # (e.g. _auto_block_rows(T, plane_bytes, hist)) to enable.
+        block_rows = 1
     if block_rows > 1 and T % block_rows == 0 and block_rows >= hist:
         row_index = jnp.arange(T, dtype=jnp.int32).reshape(T, 1)
         if fields[0].ndim == 2:
