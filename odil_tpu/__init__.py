@@ -51,7 +51,7 @@ from . import backend
 
 def __getattr__(name):
     # Lazy imports for modules with heavy dependencies (matplotlib, runtime).
-    if name in ("runtime", "plot", "plotutil", "newton"):
+    if name in ("runtime", "plot", "plotutil", "newton", "models", "ops"):
         import importlib
 
         module = importlib.import_module("." + name, __name__)
