@@ -186,4 +186,5 @@ def test_epoch_tracer_semantics_in_scan():
     opt = AdamOptimizer(dtype=domain.dtype)
     opt.bind(loss_fn, tracers=problem.tracers, task_epochs=[5], names=[""])
     out, _ = opt.run([jnp.asarray(a) for a in arrays], epochs=5, lr=lr)
-    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0]), rtol=1e-6)
+    tol = 1e-6 if domain.dtype == np.float64 else 1e-4
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0]), rtol=tol, atol=tol)
