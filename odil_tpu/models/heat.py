@@ -152,15 +152,24 @@ def operator_odil_fused(ctx):
     if args.infer_k:
         k_params = tuple(ctx.domain.arrays_from_field(ctx.state.fields["k_net"]))
         nlayers = len(ctx.state.fields["k_net"].weights)
+        layer_shapes = [tuple(w.shape) for w in ctx.state.fields["k_net"].weights]
 
         def k_of(x, params):
+            # Unrolled scalar-weighted sums instead of einsum: the layer
+            # widths are tiny and Mosaic rejects the fused multi_reduction
+            # these dots lower to ("only constant accumulators supported").
             ws, bs = params[:nlayers], params[nlayers:]
-            h = x[..., None]
-            for i, (w, b) in enumerate(zip(ws, bs)):
-                h = mod.einsum("...i,oi->...o", h, w) + b
-                if i < nlayers - 1:
-                    h = mod.tanh(h)
-            return mod.sigmoid(h[..., 0]) * args.kmax
+            h = [x]
+            for li, (w, b) in enumerate(zip(ws, bs)):
+                no, ni = layer_shapes[li]
+                out = []
+                for o in range(no):
+                    acc = b[o]
+                    for i in range(ni):
+                        acc = acc + w[o, i] * h[i]
+                    out.append(acc)
+                h = [mod.tanh(v) for v in out] if li < nlayers - 1 else out
+            return mod.sigmoid(h[0]) * args.kmax
 
     else:
         k_params = ()
