@@ -257,3 +257,51 @@ def test_gauss_newton_heat_tmax_model():
     odil.util.optimize(args, "gn", problem, state)
     t1 = float(np.asarray(problem.domain.field(state, "coeff"))[0])
     assert abs(t1 - 4.5) < abs(t0 - 4.5), (t0, t1)
+
+
+def test_bpx_preconditioner_accelerates_cg():
+    """Squared-BPX multilevel preconditioning must beat plain CG decisively
+    on the Poisson normal equations (the reference needs PyAMG for this)."""
+    import jax
+    import jax.numpy as jnp
+
+    from odil_tpu.models import poisson as pmodel
+    from odil_tpu.newton import make_bpx_preconditioner
+
+    problem, state, extra = pmodel.build(
+        n=64, ndim=2, ref="hat", rhs="discrete", dtype=np.float64, multigrid=False
+    )
+    f, x = problem.residual_fn(state)
+    r0, pb = jax.vjp(f, x)
+
+    def nm(v):
+        return pb(jax.jvp(f, (x,), (v,))[1])[0]
+
+    rhs = -pb(r0)[0]
+    M = make_bpx_preconditioner(problem.domain, state, nm, x, jax.random.PRNGKey(0), nprobe=4)
+    d_plain, _ = jax.scipy.sparse.linalg.cg(nm, rhs, tol=1e-12, maxiter=200)
+    d_bpx, _ = jax.scipy.sparse.linalg.cg(nm, rhs, tol=1e-12, maxiter=200, M=M)
+    loss_plain = float(jnp.mean(f(x + d_plain) ** 2))
+    loss_bpx = float(jnp.mean(f(x + d_bpx) ** 2))
+    assert loss_bpx < loss_plain * 0.05, (loss_plain, loss_bpx)
+
+
+def test_optimize_gn_bpx_driver():
+    """The gn driver with --linsolver multigrid solves Poisson far better
+    than the unpreconditioned run at the same CG budget."""
+    from odil_tpu.models import poisson as pmodel
+
+    results = {}
+    for linsolver in ["direct", "multigrid"]:  # 'direct' -> plain CG in gn
+        problem, state, extra = pmodel.build(
+            n=64, ndim=2, ref="hat", rhs="discrete", dtype=np.float64, multigrid=False
+        )
+        args = argparse.Namespace(
+            epochs=2, epoch_start=0, seed=0,
+            linsolver=linsolver, linsolver_maxiter=150, linsolver_tol=1e-12,
+            linsolver_damp=0, linsolver_dampdiag=0,
+        )
+        odil.util.optimize(args, "gn", problem, state)
+        err = np.sqrt(np.mean((np.asarray(problem.domain.field(state, "u")) - extra.ref_u) ** 2))
+        results[linsolver] = float(err)
+    assert results["multigrid"] < results["direct"] * 0.2, results
