@@ -63,6 +63,18 @@ if backend_name == "jax":
     if dtype_name == "float64":
         jax.config.update("jax_enable_x64", True)
 
+    # Persistent compilation cache: TPU compiles of the scanned training
+    # loops take minutes; cache them across processes.  Disable with
+    # ODIL_COMPILE_CACHE=''.
+    _cache_dir = os.environ.get("ODIL_COMPILE_CACHE", os.path.expanduser("~/.cache/odil_tpu_xla"))
+    if _cache_dir:
+        try:
+            os.makedirs(_cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", _cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        except Exception:
+            pass
+
     from .backend import ModJax
 
     mod = ModJax()

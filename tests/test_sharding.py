@@ -113,3 +113,14 @@ def test_sharded_multigrid_state():
     problem = odil.Problem(operator, domain)
     loss, grads, *_ = problem.eval_loss_grad(state)
     assert np.isfinite(np.asarray(loss))
+
+
+def test_shard_state_arrays_and_replicated():
+    mesh = parallel.mesh_from_spec("x:2,y:2")
+    domain = odil.Domain(cshape=(8, 8), dimnames=["x", "y"], mesh=mesh, partition={"x": "x", "y": "y"})
+    state = domain.init_state(odil.State(fields={"u": np.zeros((8, 8)), "a": odil.Array(np.zeros(3))}))
+    arrays = domain.arrays_from_state(state)
+    placed = parallel.shard_state_arrays(domain, arrays)
+    assert not placed[0].sharding.is_fully_replicated
+    rep = parallel.replicated(mesh)
+    assert rep.is_fully_replicated
