@@ -64,14 +64,16 @@ if backend_name == "jax":
         jax.config.update("jax_enable_x64", True)
 
     # Persistent compilation cache: TPU compiles of the scanned training
-    # loops take minutes; cache them across processes.  Disable with
+    # loops take minutes; cache them across processes.  TPU-only (CPU AOT
+    # entries are machine-feature-sensitive).  Disable with
     # ODIL_COMPILE_CACHE=''.
     _cache_dir = os.environ.get("ODIL_COMPILE_CACHE", os.path.expanduser("~/.cache/odil_tpu_xla"))
     if _cache_dir:
         try:
-            os.makedirs(_cache_dir, exist_ok=True)
-            jax.config.update("jax_compilation_cache_dir", _cache_dir)
-            jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+            if jax.default_backend() == "tpu":
+                os.makedirs(_cache_dir, exist_ok=True)
+                jax.config.update("jax_compilation_cache_dir", _cache_dir)
+                jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
         except Exception:
             pass
 
