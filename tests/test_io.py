@@ -155,3 +155,27 @@ def test_checkpoint_resume_with_optimizer_slots(tmp_path):
     odil.util.optimize_grad(args2, "adamn", problem2, state2)
     loss_end = problem2.eval_loss_grad(state2)[0]
     assert loss_end < loss_mid
+
+
+def test_profile_dir_capture(tmp_path):
+    """--profile_dir wraps the optimizer run in a jax.profiler trace."""
+    import argparse
+
+    os.chdir(tmp_path)
+    domain = odil.Domain(cshape=(8,), dimnames=["x"])
+
+    def operator(ctx):
+        return [ctx.field("u") - 1.0]
+
+    state = domain.init_state(odil.State(fields={"u": None}))
+    problem = odil.Problem(operator, domain)
+    args = argparse.Namespace(
+        epochs=5, epoch_start=0, lr=0.1,
+        report_every=0, history_every=0, plot_every=0, checkpoint_every=0,
+        history_full=0, frames=0, callback_update_state=0,
+        bfgs_m=10, bfgs_maxls=20, bfgs_pgtol=None,
+        adam_epsilon=None, adam_beta_1=None, adam_beta_2=None,
+        profile_dir=str(tmp_path / "trace"),
+    )
+    odil.util.optimize_grad(args, "adamn", problem, state)
+    assert (tmp_path / "trace").exists()
