@@ -38,13 +38,14 @@ class Optimizer:
         self.tracers = None  # Tracer template; 'epoch' is overridden in-loop.
         self.task_epochs = None  # Sorted epochs at which the callback must run.
 
-    def bind(self, loss_fn, tracers=None, task_epochs=None, names=None):
+    def bind(self, loss_fn, tracers=None, task_epochs=None, names=None, max_chunk=512):
         """Installs the pure device loss function and the callback schedule."""
         self.loss_fn = loss_fn
         self.tracers = dict(tracers) if tracers else dict()
         self.task_epochs = task_epochs
         self._task_set = set(task_epochs) if task_epochs is not None else None
         self._names = names
+        self._max_chunk = max_chunk
         return self
 
     def run(self, x0, loss_grad=None, epochs=None, callback=None, epoch_start=0, **kwargs):
@@ -55,7 +56,9 @@ class Optimizer:
 
     # -- Shared helpers -----------------------------------------------------
 
-    def _chunks(self, epoch_start, epochs, max_chunk=512):
+    def _chunks(self, epoch_start, epochs, max_chunk=None):
+        if max_chunk is None:
+            max_chunk = getattr(self, "_max_chunk", 512)
         return plan_chunks(epoch_start, epochs, self.task_epochs, max_chunk)
 
     def _emit(self, callback, arrays, epoch_lo, stacked, nsteps):

@@ -218,7 +218,13 @@ def optimize_grad(args, optname, problem, state, callback=None, **kwargs):
         every_epoch = True
     epochs = args.epochs - args.epoch_start
     task_epochs = None if every_epoch else compute_task_epochs(args, args.epoch_start, epochs)
-    opt.bind(loss_fn, tracers=problem.tracers, task_epochs=task_epochs, names=names)
+    opt.bind(
+        loss_fn,
+        tracers=problem.tracers,
+        task_epochs=task_epochs,
+        names=names,
+        max_chunk=getattr(args, "max_chunk", 512) or 512,
+    )
 
     profile_dir = getattr(args, "profile_dir", None)
     if profile_dir:
