@@ -112,11 +112,19 @@ def report_func(problem, state, epoch, cbinfo):
 def make_problem(args):
     dtype = np.float64 if args.double else np.float32
     ndim = args.ndim
+    dimnames = ["x", "y", "z", "sx", "sy", "sz"][:ndim]
+    mesh = partition = None
+    if getattr(args, "mesh", None):
+        mesh = odil.parallel.mesh_from_spec(args.mesh)
+        partition = odil.parallel.auto_partition(dimnames, mesh)
+        printlog(f"mesh: {dict(zip(mesh.axis_names, mesh.devices.shape))}, partition: {partition}")
     domain = odil.Domain(
         cshape=[args.N] * ndim,
-        dimnames=["x", "y", "z", "sx", "sy", "sz"][:ndim],
+        dimnames=dimnames,
         multigrid=args.multigrid,
         dtype=dtype,
+        mesh=mesh,
+        partition=partition,
     )
     if domain.multigrid:
         printlog("multigrid levels:", domain.mg_cshapes)
