@@ -24,8 +24,12 @@ __all__ = ["AdamOptimizer"]
 
 class AdamOptimizer(Optimizer):
 
-    def __init__(self, dtype=None, mod=None, **kwargs):
+    def __init__(self, dtype=None, mod=None, slot_dtype=None, **kwargs):
+        """slot_dtype: storage dtype for the m/v moment slots (e.g.
+        jnp.bfloat16 halves their HBM traffic; updates still compute in the
+        parameter dtype).  Default: parameter dtype."""
         super().__init__(name="adamn", displayname="AdamNative", dtype=dtype, mod=mod)
+        self.slot_dtype = slot_dtype
 
     def run(
         self,
@@ -61,15 +65,22 @@ class AdamOptimizer(Optimizer):
         # carry a 'step' entry.
         step0 = int(init_slots.get("step", 0)) if init_slots else 0
 
+        slot_dtype = self.slot_dtype or dtype
+
         def epoch_step(carry, _):
             x, m, v, epoch = carry
             tracers = dict(tracer_template, epoch=epoch - 1)
             (loss, (terms, norms)), grads = grad_fn(x, tracers)
             t = (epoch - epoch_start + step0).astype(dtype)
             alpha = lr * jnp.sqrt(1 - b2**t) / (1 - b1**t)
-            m = [mi + (g - mi) * (1 - b1) for mi, g in zip(m, grads)]
-            v = [vi + (jnp.square(g) - vi) * (1 - b2) for vi, g in zip(v, grads)]
+            m = [mi.astype(dtype) + (g - mi.astype(dtype)) * (1 - b1) for mi, g in zip(m, grads)]
+            v = [
+                vi.astype(dtype) + (jnp.square(g) - vi.astype(dtype)) * (1 - b2)
+                for vi, g in zip(v, grads)
+            ]
             x = [xi - mi * alpha / (jnp.sqrt(vi) + epsilon) for xi, mi, vi in zip(x, m, v)]
+            m = [mi.astype(slot_dtype) for mi in m]
+            v = [vi.astype(slot_dtype) for vi in v]
             return (x, m, v, epoch + 1), (loss, jnp.stack(terms), jnp.stack(norms))
 
         @partial(jax.jit, static_argnums=1)
@@ -80,11 +91,11 @@ class AdamOptimizer(Optimizer):
         if init_slots and "m" in init_slots:
             # Resume the moment estimates (the reference restarts them cold,
             # SURVEY.md §5 "Checkpoint / resume").
-            m = [jnp.asarray(a) for a in init_slots["m"]]
-            v = [jnp.asarray(a) for a in init_slots["v"]]
+            m = [jnp.asarray(a, slot_dtype) for a in init_slots["m"]]
+            v = [jnp.asarray(a, slot_dtype) for a in init_slots["v"]]
         else:
-            m = [jnp.zeros_like(a) for a in x]
-            v = [jnp.zeros_like(a) for a in x]
+            m = [jnp.zeros(a.shape, slot_dtype) for a in x]
+            v = [jnp.zeros(a.shape, slot_dtype) for a in x]
         carry = (x, m, v, jnp.asarray(epoch_start + 1, jnp.int32))
 
         epoch = epoch_start

@@ -115,6 +115,13 @@ def add_arguments(parser):
     add("--adam_epsilon", type=float, help="Parameter epsilon in Adam")
     add("--adam_beta_1", type=float, help="Parameter beta_1 in Adam")
     add("--adam_beta_2", type=float, help="Parameter beta_2 in Adam")
+    add(
+        "--adam_slot_dtype",
+        type=str,
+        default=None,
+        choices=["bfloat16", "float32"],
+        help="Storage dtype for Adam moment slots (bfloat16 halves their HBM traffic)",
+    )
     add("--multigrid", type=int, default=0, help="Use multigrid decomposition")
     add(
         "--mg_interp",
@@ -194,6 +201,10 @@ def optimize_grad(args, optname, problem, state, callback=None, **kwargs):
         v = getattr(args, flag, None)
         if v is not None:
             kwargs[key] = v
+    if getattr(args, "adam_slot_dtype", None):
+        import jax.numpy as jnp
+
+        kwargs["slot_dtype"] = jnp.dtype(args.adam_slot_dtype)
 
     opt = make_optimizer(optname, dtype=domain.dtype, mod=mod, **kwargs)
     printlog(f"Running {opt.displayname} optimizer")
