@@ -72,6 +72,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=MEASURE_EPOCHS)
     parser.add_argument("--warmup", type=int, default=WARMUP_EPOCHS)
+    parser.add_argument("--slot_dtype", type=str, default="bfloat16",
+                        choices=["float32", "bfloat16"],
+                        help="Adam moment-slot storage dtype (bfloat16 halves "
+                             "their HBM traffic; trajectory within 1%% of fp32 "
+                             "at 1000 epochs, see BENCH_NOTES.md)")
     args = parser.parse_args()
 
     import jax
@@ -82,15 +87,18 @@ def main():
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
     lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-7
+    slot_dtype = jnp.dtype(args.slot_dtype)
 
     def epoch_step(carry, _):
         x, m, v, t = carry
         (loss, _), grads = grad_fn(x, {"epoch": t})
         tt = (t + 1).astype(jnp.float32)
         alpha = lr * jnp.sqrt(1 - b2**tt) / (1 - b1**tt)
-        m = [mi + (g - mi) * (1 - b1) for mi, g in zip(m, grads)]
-        v = [vi + (jnp.square(g) - vi) * (1 - b2) for vi, g in zip(v, grads)]
+        m = [mi.astype(jnp.float32) + (g - mi.astype(jnp.float32)) * (1 - b1) for mi, g in zip(m, grads)]
+        v = [vi.astype(jnp.float32) + (jnp.square(g) - vi.astype(jnp.float32)) * (1 - b2) for vi, g in zip(v, grads)]
         x = [xi - mi * alpha / (jnp.sqrt(vi) + eps) for xi, mi, vi in zip(x, m, v)]
+        m = [mi.astype(slot_dtype) for mi in m]
+        v = [vi.astype(slot_dtype) for vi in v]
         return (x, m, v, t + 1), loss
 
     from functools import partial
@@ -100,7 +108,12 @@ def main():
         return jax.lax.scan(epoch_step, carry, None, length=n)
 
     x = [jnp.asarray(a) for a in arrays]
-    carry = (x, [jnp.zeros_like(a) for a in x], [jnp.zeros_like(a) for a in x], jnp.asarray(0, jnp.int32))
+    carry = (
+        x,
+        [jnp.zeros(a.shape, slot_dtype) for a in x],
+        [jnp.zeros(a.shape, slot_dtype) for a in x],
+        jnp.asarray(0, jnp.int32),
+    )
 
     # Warmup with the SAME chunk length so compile time is fully excluded.
     carry, losses = run_chunk(carry, args.epochs)
