@@ -188,3 +188,19 @@ def test_epoch_tracer_semantics_in_scan():
     out, _ = opt.run([jnp.asarray(a) for a in arrays], epochs=5, lr=lr)
     tol = 1e-6 if domain.dtype == np.float64 else 1e-4
     np.testing.assert_allclose(np.asarray(out[0]), np.asarray(x[0]), rtol=tol, atol=tol)
+
+
+def test_problem_without_jit():
+    """ODIL_JIT=0 semantics: Problem with jit=False still evaluates."""
+    domain = odil.Domain(cshape=(4, 4), dimnames=["x", "y"])
+    ref = np.random.RandomState(0).rand(4, 4)
+
+    def operator(ctx):
+        return [ctx.field("u") - ctx.extra.ref]
+
+    state = domain.init_state(odil.State(fields={"u": None}))
+    problem = odil.Problem(operator, domain, argparse.Namespace(ref=domain.cast(ref)), jit=False)
+    loss, grads, terms, names, norms = problem.eval_loss_grad(state)
+    assert np.isfinite(loss)
+    values, names2 = problem.eval_operator(state)
+    assert names2 == names
