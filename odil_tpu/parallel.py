@@ -100,3 +100,42 @@ def shard_state_arrays(domain, arrays):
 def replicated(mesh):
     """Fully-replicated sharding on `mesh` (for scalars/small params)."""
     return NamedSharding(mesh, PartitionSpec())
+
+
+def multi_start(problem, state, nstarts, seed=0, scale=1.0, mesh=None, batch_axis=None):
+    """Data parallelism over independent problem instances (SURVEY §2.3):
+    batches `nstarts` optimization starts of the same problem along a
+    leading instance axis.
+
+    Returns (loss_fn_b, stacked_arrays): loss_fn_b has the standard
+    (arrays, tracers) -> (loss, (terms, norms)) signature with the batch
+    mean reduced, so it binds directly into the existing scanned optimizers
+    (their elementwise updates act per instance).  Starts are the current
+    state plus Gaussian perturbations of magnitude `scale` (start 0 is
+    unperturbed).  With `mesh` and `batch_axis`, the instance axis is
+    sharded across devices -- one training run per device group."""
+    import jax.numpy as jnp
+
+    loss_fn, arrays = problem.make_loss_fn(state)
+    key = jax.random.PRNGKey(seed)
+    stacked = []
+    for a in arrays:
+        a = jnp.asarray(a)
+        key, sub = jax.random.split(key)
+        noise = scale * jax.random.normal(sub, (nstarts,) + a.shape, a.dtype)
+        noise = noise.at[0].set(0.0)
+        batched = a[None] + noise
+        if mesh is not None and batch_axis is not None:
+            spec = PartitionSpec(batch_axis, *([None] * a.ndim))
+            batched = jax.device_put(batched, NamedSharding(mesh, spec))
+        stacked.append(batched)
+
+    def loss_fn_b(arrays_b, tracers):
+        losses, (terms, norms) = jax.vmap(lambda a: loss_fn(a, tracers))(arrays_b)
+        mean = lambda t: jnp.mean(t, axis=0)  # noqa: E731
+        return jnp.mean(losses), (
+            [mean(t) for t in terms],
+            [mean(n) for n in norms],
+        )
+
+    return loss_fn_b, stacked

@@ -124,3 +124,32 @@ def test_shard_state_arrays_and_replicated():
     assert not placed[0].sharding.is_fully_replicated
     rep = parallel.replicated(mesh)
     assert rep.is_fully_replicated
+
+
+def test_multi_start_data_parallel():
+    """Batched multi-start training through the standard Adam optimizer,
+    with the instance axis sharded over the mesh (data parallelism)."""
+    import jax.numpy as jnp
+
+    from odil_tpu.optim.adam import AdamOptimizer
+
+    problem, state = poisson_like_problem(N=8)
+    mesh = parallel.mesh_from_spec("b:4")
+    loss_b, stacked = parallel.multi_start(
+        problem, state, nstarts=4, seed=1, scale=0.5, mesh=mesh, batch_axis="b"
+    )
+    assert stacked[0].shape[0] == 4
+    assert not stacked[0].sharding.is_fully_replicated
+
+    loss0 = float(loss_b(stacked, {"epoch": 0})[0])
+    opt = AdamOptimizer(dtype=problem.domain.dtype)
+    opt.bind(loss_b, tracers=problem.tracers, task_epochs=[50], names=["fu", "reg"])
+    out, _ = opt.run(stacked, epochs=50, lr=0.05)
+    loss1 = float(loss_b(out, {"epoch": 0})[0])
+    assert loss1 < loss0 * 0.5, (loss0, loss1)
+
+    # Every instance improved, not just the mean.
+    per_instance = jax.vmap(lambda a: problem.make_loss_fn(state)[0](a, {"epoch": 0})[0])
+    l0 = np.asarray(per_instance([s for s in stacked]))
+    l1 = np.asarray(per_instance([o for o in out]))
+    assert np.all(l1 < l0)
