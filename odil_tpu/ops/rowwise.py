@@ -467,6 +467,270 @@ def _bwd_rule_blocked(row_fn, nterms, hist, interpret, B, saved, g):
 rowwise_sumsq_blocked.defvjp(_fwd_rule_blocked, _bwd_rule_blocked)
 
 
+
+
+# -- Streaming (ring-buffer) variant ----------------------------------------
+# Each field is read from HBM exactly once per pass: the current row arrives
+# through the pipelined BlockSpec and the previous `hist` rows are carried in
+# a VMEM ring scratch across the sequential TPU grid.  The wrap rows
+# (periodic time axis) enter as one small resident block per field.
+
+
+def _mod_row_spec(shape, T, extra=0):
+    """BlockSpec for row (i % T) of a (T, *plane) array (grid may exceed T
+    by `extra` epilogue programs)."""
+    ndim = len(shape)
+    zeros = (0,) * (ndim - 1)
+
+    def index_map(i):
+        return (i % T,) + zeros
+
+    return pl.BlockSpec((1,) + tuple(shape[1:]), index_map)
+
+
+def _resident_spec(shape):
+    """Whole-array block with a constant index map: fetched once and kept
+    resident across the sequential grid (revisiting semantics)."""
+    ndim = len(shape)
+    return pl.BlockSpec(tuple(shape), lambda i: (0,) * ndim)
+
+
+def _forward_stream(row_fn, nterms, hist, interpret, fields, params, data, consts):
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = fields[0].shape[0]
+    nf, np_, nd = len(fields), len(params), len(data)
+    wraps = [f[T - hist :] for f in fields]  # rows T-hist..T-1, stacked.
+
+    def kernel(*refs):
+        pos = 0
+        cur_refs = refs[pos : pos + nf]
+        pos += nf
+        wrap_refs = refs[pos : pos + nf]
+        pos += nf
+        data_refs = refs[pos : pos + nd]
+        pos += nd
+        const_refs = refs[pos : pos + len(consts)]
+        pos += len(consts)
+        param_refs = refs[pos : pos + np_]
+        pos += np_
+        out_ref = refs[pos]
+        ring_refs = refs[pos + 1 :]
+
+        i = pl.program_id(0)
+        consts_v = tuple(r[...] for r in const_refs)
+        params_v = tuple(r[...] for r in param_refs)
+
+        rows = []
+        for f in range(nf):
+            cur = cur_refs[f][0]
+            frows = [cur]
+            for o in range(1, hist + 1):
+                ring_row = ring_refs[f][(i - o) % hist]
+                wrap_row = wrap_refs[f][jnp.clip(hist + i - o, 0, hist - 1)]
+                frows.append(jnp.where(i - o >= 0, ring_row, wrap_row))
+            rows.append(tuple(frows))
+        rows = tuple(rows)
+        data_rows = tuple(r[0] for r in data_refs)
+
+        res = row_fn(i, T, rows, data_rows, params_v, consts_v)
+        sums = jnp.stack([jnp.sum(r * r) for r in res])
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[0, :] = jnp.zeros((nterms,), out_ref.dtype)
+
+        out_ref[0, :] += sums
+
+        # Carry the current row for the next `hist` programs.
+        for f in range(nf):
+            ring_refs[f][i % hist] = cur_refs[f][0]
+
+    in_specs = (
+        [_mod_row_spec(f.shape, T) for f in fields]
+        + [_resident_spec(w.shape) for w in wraps]
+        + [_mod_row_spec(d.shape, T) for d in data]
+        + [_whole_spec(c.shape) for c in consts]
+        + [_whole_spec(p.shape) for p in params]
+    )
+    inputs = list(fields) + wraps + list(data) + list(consts) + list(params)
+    out = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nterms), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, nterms), fields[0].dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hist,) + tuple(f.shape[1:]), f.dtype) for f in fields
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return out[0]
+
+
+def _backward_stream(row_fn, nterms, hist, interpret, fields, params, data, consts, g):
+    """Streaming backward: grid of T + hist programs; program i processes
+    residual row (i % T), accumulates its vjp cotangents into a VMEM
+    out-ring, and flushes output row (i - hist) % T once complete.  The
+    first `hist` residual rows are processed twice (once for their forward
+    targets, once at the epilogue for the wrapped targets); masks keep each
+    contribution exactly once."""
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    T = fields[0].shape[0]
+    nf, np_, nd = len(fields), len(params), len(data)
+    gmat = jnp.reshape(g, (1, nterms))
+    wraps = [f[T - hist :] for f in fields]
+    nprog = T + hist
+
+    def kernel(*refs):
+        pos = 0
+        cur_refs = refs[pos : pos + nf]
+        pos += nf
+        wrap_refs = refs[pos : pos + nf]
+        pos += nf
+        data_refs = refs[pos : pos + nd]
+        pos += nd
+        const_refs = refs[pos : pos + len(consts)]
+        pos += len(consts)
+        param_refs = refs[pos : pos + np_]
+        pos += np_
+        g_ref = refs[pos]
+        pos += 1
+        out_field_refs = refs[pos : pos + nf]
+        out_param_refs = refs[pos + nf : pos + nf + np_]
+        scratch = refs[pos + nf + np_ :]
+        ring_refs = scratch[:nf]
+        oring_refs = scratch[nf : 2 * nf]
+
+        i = pl.program_id(0)
+        consts_v = tuple(r[...] for r in const_refs)
+        params_v = tuple(r[...] for r in param_refs)
+        gvec = g_ref[0]
+
+        # Input rows for residual row (i % T): current + ring + wraps.
+        flat_rows = []
+        for f in range(nf):
+            cur = cur_refs[f][0]
+            flat_rows.append(cur)
+            for o in range(1, hist + 1):
+                ring_row = ring_refs[f][(i - o) % hist]
+                wrap_row = wrap_refs[f][jnp.clip(hist + i - o, 0, hist - 1)]
+                flat_rows.append(jnp.where(i - o >= 0, ring_row, wrap_row))
+        # Note: flat order per field is offsets 0..hist.
+        data_rows = tuple(r[0] for r in data_refs)
+
+        def residuals_of(*args):
+            rows_flat = args[: nf * (hist + 1)]
+            pv = args[nf * (hist + 1) :]
+            rows = tuple(
+                tuple(rows_flat[f * (hist + 1) + m] for m in range(hist + 1)) for f in range(nf)
+            )
+            return tuple(row_fn(i % T, T, rows, data_rows, pv, consts_v))
+
+        res, vjp_fn = jax.vjp(residuals_of, *(tuple(flat_rows) + params_v))
+        w = tuple(2.0 * gvec[k] * res[k] for k in range(nterms))
+        cots = vjp_fn(w)
+
+        # Zero the out-ring slots on first use.
+        @pl.when(i == 0)
+        def _():
+            for f in range(nf):
+                oring_refs[f][...] = jnp.zeros_like(oring_refs[f])
+
+        # Accumulate cotangents: offset o targets program-row i - o.
+        for f in range(nf):
+            for o in range(hist + 1):
+                target = i - o
+                contrib = cots[f * (hist + 1) + o]
+                slot = target % (hist + 1)
+                valid = target >= 0
+
+                current = oring_refs[f][slot]
+                oring_refs[f][slot] = jnp.where(valid, current + contrib, current)
+
+        # Flush the completed row (program-row i - hist) and reset its slot.
+        for f in range(nf):
+            slot = (i - hist) % (hist + 1)
+            out_field_refs[f][0] = oring_refs[f][slot]
+            oring_refs[f][slot] = jnp.zeros_like(oring_refs[f][slot])
+
+        # Parameter cotangents: each residual row contributes once.
+        for q in range(np_):
+
+            @pl.when(i == 0)
+            def _(q=q):
+                out_param_refs[q][...] = jnp.zeros(params[q].shape, params[q].dtype)
+
+            @pl.when(i < T)
+            def _(q=q):
+                out_param_refs[q][...] += cots[nf * (hist + 1) + q]
+
+        # Carry current rows.
+        for f in range(nf):
+            ring_refs[f][i % hist] = cur_refs[f][0]
+
+    def out_row_spec(shape):
+        ndim = len(shape)
+        zeros = (0,) * (ndim - 1)
+        return pl.BlockSpec((1,) + tuple(shape[1:]), lambda i: ((i - hist) % T,) + zeros)
+
+    in_specs = (
+        [_mod_row_spec(f.shape, T) for f in fields]
+        + [_resident_spec(w.shape) for w in wraps]
+        + [_mod_row_spec(d.shape, T) for d in data]
+        + [_whole_spec(c.shape) for c in consts]
+        + [_whole_spec(p.shape) for p in params]
+        + [_whole_spec((1, nterms))]
+    )
+    inputs = list(fields) + wraps + list(data) + list(consts) + list(params) + [gmat]
+    out_specs = [out_row_spec(f.shape) for f in fields] + [_whole_spec(p.shape) for p in params]
+    out_shapes = [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields] + [
+        jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params
+    ]
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nprog,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=(
+            [pltpu.VMEM((hist,) + tuple(f.shape[1:]), f.dtype) for f in fields]
+            + [pltpu.VMEM((hist + 1,) + tuple(f.shape[1:]), f.dtype) for f in fields]
+        ),
+        interpret=interpret,
+    )(*inputs)
+    return tuple(outs[:nf]), tuple(outs[nf:])
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def rowwise_sumsq_stream(row_fn, nterms, hist, interpret, fields, params, data, consts):
+    return _forward_stream(row_fn, nterms, hist, interpret, fields, params, data, consts)
+
+
+def _fwd_rule_stream(row_fn, nterms, hist, interpret, fields, params, data, consts):
+    out = _forward_stream(row_fn, nterms, hist, interpret, fields, params, data, consts)
+    return out, (fields, params, data, consts)
+
+
+def _bwd_rule_stream(row_fn, nterms, hist, interpret, saved, g):
+    fields, params, data, consts = saved
+    dfields, dparams = _backward_stream(
+        row_fn, nterms, hist, interpret, fields, params, data, consts, g
+    )
+    return (
+        dfields,
+        dparams,
+        tuple(jnp.zeros_like(d) for d in data),
+        tuple(jnp.zeros_like(c) for c in consts),
+    )
+
+
+rowwise_sumsq_stream.defvjp(_fwd_rule_stream, _bwd_rule_stream)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def rowwise_sumsq(row_fn, nterms, hist, interpret, fields, params, data, consts):
     return _forward(row_fn, nterms, hist, interpret, fields, params, data, consts)
@@ -533,7 +797,16 @@ def _auto_block_rows(T, plane_bytes, hist):
 
 
 def rowwise_loss_terms(
-    row_fn, fields, params=(), data=(), consts=(), nterms=1, hist=1, interpret=None, block_rows=None
+    row_fn,
+    fields,
+    params=(),
+    data=(),
+    consts=(),
+    nterms=1,
+    hist=1,
+    interpret=None,
+    block_rows=None,
+    stream=False,
 ):
     """Per-term mean-squared losses through the fused kernel.
 
@@ -556,6 +829,23 @@ def rowwise_loss_terms(
         if not _on_tpu() or vmem > 14 * 1024 * 1024:
             return _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist)
         interpret = False
+    if stream and hist >= 1:
+        # Streaming ring-buffer kernels: each field read from HBM once.
+        if fields[0].ndim == 2:
+            fields2 = tuple(f[:, None, :] for f in fields)
+            data2 = tuple(d[:, None, :] if d.ndim == 2 else d for d in data)
+            consts2 = tuple(c[None, :] if c.ndim == 1 else c for c in consts)
+
+            def row_fn_s(it, T_, rows, data_rows, pv, cons):
+                rows1 = tuple(tuple(p[0] for p in f_rows) for f_rows in rows)
+                data1 = tuple(p[0] if d.ndim == 2 else p for p, d in zip(data_rows, data))
+                cons1 = tuple(c[0] if o.ndim == 1 else c for c, o in zip(cons, consts))
+                return tuple(r[None, :] for r in row_fn(it, T_, rows1, data1, pv, cons1))
+
+            sums = rowwise_sumsq_stream(row_fn_s, nterms, hist, interpret, fields2, params, data2, consts2)
+        else:
+            sums = rowwise_sumsq_stream(row_fn, nterms, hist, interpret, fields, params, data, consts)
+        return [sums[k] / (T * plane) for k in range(nterms)]
     if block_rows is None:
         # Blocked mode is opt-in: it improves small-plane throughput but the
         # vmapped-vjp kernel inflates Mosaic compile time substantially

@@ -350,3 +350,62 @@ def test_blocked_2d_planes():
     g1 = jax.grad(lambda a: loss(a, 1))(u)
     g4 = jax.grad(lambda a: loss(a, 4))(u)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g4), rtol=1e-5, atol=1e-6)
+
+
+def test_stream_matches_per_row():
+    """Streaming ring-buffer kernel == per-row kernel, values and gradients,
+    including params, data, hist=2, 1D/2D planes."""
+    T, N = 8, 16
+    u, v = make_fields(T, N, nf=2, seed=21)
+    mask = jnp.asarray(np.random.default_rng(22).integers(0, 2, (T, N)), jnp.float32)
+    w = jnp.asarray(np.random.default_rng(23).normal(size=(3,)) * 0.3, jnp.float32)
+
+    def row_fn(it, T_, rows, data_rows, params, consts):
+        (u_rows, v_rows) = rows
+        (m,) = data_rows
+        (wv,) = params
+        cur, tm, tmm = u_rows
+        vcur = v_rows[0]
+        r1 = (cur - 2 * tm + tmm) + vcur * (jnp.roll(cur, -1) - jnp.roll(cur, 1)) * wv[0]
+        r1 = jnp.where(it <= 1, wv[1] * cur, r1) * m
+        r2 = (vcur - v_rows[1]) * wv[2]
+        r2 = jnp.where(it == 0, 0.0, r2)
+        return (r1, r2)
+
+    def loss(u, v, w, stream):
+        t1, t2 = rowwise_loss_terms(
+            row_fn, (u, v), params=(w,), data=(mask,), nterms=2, hist=2,
+            interpret=True, stream=stream,
+        )
+        return t1 + 0.3 * t2
+
+    np.testing.assert_allclose(float(loss(u, v, w, False)), float(loss(u, v, w, True)), rtol=1e-6)
+    g0 = jax.grad(loss, argnums=(0, 1, 2))(u, v, w, False)
+    g1 = jax.grad(loss, argnums=(0, 1, 2))(u, v, w, True)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_stream_2d_planes_hist1():
+    T, NX, NY = 6, 8, 8
+    rng = np.random.default_rng(24)
+    u = jnp.asarray(rng.normal(size=(T, NX, NY)), jnp.float32)
+    c = jnp.asarray(rng.normal(size=(NX, NY)), jnp.float32)
+
+    def row_fn(it, T_, rows, data_rows, params, consts):
+        ((cur, prev),) = rows
+        (c0,) = consts
+        r = (cur - prev) + 0.1 * (jnp.roll(cur, -1, 0) - jnp.roll(cur, 1, 1))
+        r = jnp.where(it == 0, cur - c0, r)
+        return (r,)
+
+    def loss(u, stream):
+        (t,) = rowwise_loss_terms(
+            row_fn, (u,), consts=(c,), nterms=1, hist=1, interpret=True, stream=stream
+        )
+        return t
+
+    np.testing.assert_allclose(float(loss(u, False)), float(loss(u, True)), rtol=1e-6)
+    g0 = jax.grad(lambda a: loss(a, False))(u)
+    g1 = jax.grad(lambda a: loss(a, True))(u)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5, atol=1e-6)
