@@ -370,13 +370,16 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
 
         accs = []
         for f in range(nf):
+            plane_nd = len(fields[f].shape) - 1
             acc = jnp.zeros((B,) + fields[f].shape[1:], fields[f].dtype)
             for o in range(hist + 1):
                 c_o = cots[f * (hist + 1) + o]  # (B, *plane): row s's cot to row s-o.
                 if o == 0:
                     acc = acc + c_o
                 else:
-                    acc = acc.at[: B - o].add(c_o[o:])
+                    # Row s contributes to row s-o: shift up by o (pad+add
+                    # instead of .at[].add -- Mosaic has no scatter-add).
+                    acc = acc + jnp.pad(c_o[o:], ((0, o),) + ((0, 0),) * plane_nd)
             accs.append(acc)
 
         param_accs = [jnp.sum(cots[nf * (hist + 1) + q], axis=0) for q in range(np_)]
@@ -389,8 +392,11 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
             data_i = tuple(db[B + s2] for db in dbig)
             c = row_cotangents(ibig[B + s2], flat_in, data_i)
             for f in range(nf):
+                plane_nd = len(fields[f].shape) - 1
                 for o in range(s2 + 1, hist + 1):
-                    accs[f] = accs[f].at[B + s2 - o].add(c[f * (hist + 1) + o])
+                    k = B + s2 - o  # Static target row in this block.
+                    pad = ((k, B - 1 - k),) + ((0, 0),) * plane_nd
+                    accs[f] = accs[f] + jnp.pad(c[f * (hist + 1) + o][None], pad)
 
         for f in range(nf):
             out_field_refs[f][...] = accs[f]
