@@ -54,7 +54,7 @@ def solve(matr, rhs, args, status=None, linsolver="direct"):
         sol, _, itn, _, _, anorm, acond, arnorm = out[:8]
         status.update(residual=arnorm, anorm=anorm, acond=acond, niter=itn)
         return sol
-    if linsolver in ("multigrid", "cg"):
+    if linsolver in ("multigrid", "vcycle", "cg"):
         # Jacobi-preconditioned CG on the normal equations.
         reg, rhs_reg = _normal_equations(matr, rhs, args)
         diag = reg.diagonal()
@@ -115,7 +115,7 @@ def add_arguments(parser):
     add(
         "--linsolver",
         type=str,
-        choices=["multigrid", "direct", "directsq", "direct_cu", "sparseqr", "lsqr", "lsqr_cu", "bicgstab", "cg"],
+        choices=["multigrid", "vcycle", "direct", "directsq", "direct_cu", "sparseqr", "lsqr", "lsqr_cu", "bicgstab", "cg"],
         default="direct",
         help="Linear solver for Newton",
     )

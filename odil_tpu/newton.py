@@ -36,6 +36,7 @@ __all__ = [
     "gauss_newton_step",
     "estimate_normal_diag",
     "make_bpx_preconditioner",
+    "make_vcycle_preconditioner",
     "optimize_gauss_newton",
 ]
 
@@ -147,6 +148,240 @@ def make_bpx_preconditioner(domain, state, normal_matvec, x0, key, nprobe=4):
     return lambda v: half_sweep(half_sweep(v))
 
 
+def make_vcycle_preconditioner(
+    domain,
+    state,
+    normal_matvec,
+    x0,
+    key,
+    degree=3,
+    cheb_alpha=16.0,
+    nprobe=8,
+    npower=12,
+    max_nlvl=None,
+    coarse_ridge=1e-8,
+):
+    """Geometric V-cycle preconditioner for the GN normal equations.
+
+    Matrix-free Galerkin hierarchy: the level-l operator is
+    N_l = P_l^T N P_l with P_l the geometric prolongation chain
+    (`interp_to_finer(depth=l)`) and P_l^T its exact adjoint via jax.vjp,
+    so every level application costs one fine-grid matvec and the Galerkin
+    consistency N_{l+1} = p_l^T N_l p_l holds by construction.  One
+    symmetric V-cycle per application:
+
+    - smoother: Chebyshev(degree) on the Jacobi-preconditioned operator
+      D_l^-1 N_l, targeting the interval [lmax/cheb_alpha, lmax].  D_l is a
+      Hutchinson diagonal estimate (diag = E[z * N_l z], Rademacher z) and
+      lmax is measured per level by power iteration on D_l^-1 N_l itself,
+      so the smoother is stable regardless of estimator noise -- plain
+      omega-Jacobi is NOT (for N = A^2 of the 5-point Laplacian even the
+      exact diagonal gives rho(D^-1 N) ~ 3.2 > 2).  cheb_alpha=16 covers
+      the coarse-grid-invisible half of the spectrum of a squared
+      2nd-order operator (frequency halving divides an A^2 eigenvalue by
+      ~16);
+    - coarsest level: exact dense solve -- N_{L-1} is materialized
+      column-by-column at setup (a handful of unknowns) and inverted on the
+      host with a relative ridge, so the cycle is strictly SPD.
+
+    Polynomial smoothers are self-adjoint in the N_l inner product, so the
+    same pre/post smoothing yields a fixed symmetric positive-definite
+    linear operator -- a valid CG preconditioner.  This replaces the
+    reference's host-side PyAMG solve (src/odil/linsolver.py:61) for
+    ill-conditioned Newton systems where the additive squared-BPX sweep
+    (above) is not strong enough (512^2 fp64).
+    Returns None for non-Field unknowns or grids with < 2 levels."""
+    from .transfer import interp_to_finer
+
+    layout = _field_layout(domain, state)
+    if layout is None:
+        return None
+    mod = domain.mod
+    dtype = x0.dtype
+    tmap = jax.tree_util.tree_map
+
+    def level_cshape(shape, loc, lvl):
+        return tuple(
+            ((n - (1 if c == "n" else 0)) >> lvl) + (1 if c == "n" else 0)
+            for n, c in zip(shape, loc)
+        )
+
+    nlvls = [_mg_levels(shape, loc) for _, loc, shape, _, _ in layout]
+    L = max(nlvls)
+    if max_nlvl:
+        L = min(L, int(max_nlvl))
+    if L < 2:
+        return None
+
+    def fdepth(i, lvl):
+        # Fields shallower than the hierarchy stay at their own coarsest.
+        return min(lvl, nlvls[i] - 1)
+
+    def shapes_at(lvl):
+        return [
+            level_cshape(shape, loc, fdepth(i, lvl))
+            for i, (_, loc, shape, _, _) in enumerate(layout)
+        ]
+
+    def unflatten0(v):
+        return tuple(
+            v[offset : offset + size].reshape(shape)
+            for (_, loc, shape, offset, size) in layout
+        )
+
+    def flatten0(fields):
+        out = jnp.zeros_like(x0)
+        for (key_, loc, shape, offset, size), f in zip(layout, fields):
+            out = out.at[offset : offset + size].set(f.reshape(-1))
+        return out
+
+    def make_N(lvl):
+        depths = [fdepth(i, lvl) for i in range(len(layout))]
+
+        def prolong(fields_l):
+            fine = []
+            for (key_, loc, *_), z, d in zip(layout, fields_l, depths):
+                fine.append(interp_to_finer(z, loc=loc, mod=mod, depth=d) if d else z)
+            return flatten0(tuple(fine))
+
+        def N_l(fields_l):
+            _, pullback = jax.vjp(prolong, fields_l)
+            return pullback(normal_matvec(prolong(fields_l)))[0]
+
+        zeros_l = tuple(jnp.zeros(s, dtype) for s in shapes_at(lvl))
+        return N_l, zeros_l
+
+    N_ops = [make_N(lvl) for lvl in range(L)]
+
+    def prolong_adj(fields_c, lvl):
+        out = []
+        for i, ((key_, loc, *_), z) in enumerate(zip(layout, fields_c)):
+            if fdepth(i, lvl + 1) > fdepth(i, lvl):
+                z = interp_to_finer(z, loc=loc, mod=mod, depth=1)
+            out.append(z)
+        return tuple(out)
+
+    def restrict_adj(fields_f, lvl):
+        zeros_c = tuple(jnp.zeros(s, dtype) for s in shapes_at(lvl + 1))
+        _, pullback = jax.vjp(lambda fc: prolong_adj(fc, lvl), zeros_c)
+        return pullback(fields_f)[0]
+
+    # Per-level smoother data: Jacobi diagonal estimate (Hutchinson) and
+    # the largest eigenvalue of D^-1 N (power iteration), jitted per level.
+    smoothers = []
+    for lvl in range(L - 1):
+        N_l, zeros_l = N_ops[lvl]
+
+        def setup_level(key, N_l=N_l, zeros_l=zeros_l):
+            acc = tmap(jnp.zeros_like, zeros_l)
+            k = key
+            for _ in range(nprobe):
+                k, sub = jax.random.split(k)
+                subs = jax.random.split(sub, len(zeros_l))
+                z = tuple(
+                    jax.random.rademacher(s, zl.shape, dtype=dtype)
+                    for s, zl in zip(subs, zeros_l)
+                )
+                nz = N_l(z)
+                acc = tmap(lambda a, zi, ni: a + zi * ni, acc, z, nz)
+
+            def _fix(a):
+                m = jnp.mean(jnp.abs(a)) / nprobe + 1e-30
+                a = a / nprobe
+                return jnp.where(a > 0.01 * m, a, m)
+
+            dinv = tmap(lambda a: 1.0 / _fix(a), acc)
+            # Power iteration on D^-1 N for a stable Chebyshev upper bound.
+            k, sub = jax.random.split(k)
+            subs = jax.random.split(sub, len(zeros_l))
+            y = tuple(
+                jax.random.normal(s, zl.shape, dtype=dtype)
+                for s, zl in zip(subs, zeros_l)
+            )
+            lam = jnp.asarray(1.0, dtype)
+            for _ in range(npower):
+                ny = jnp.sqrt(
+                    sum(jnp.sum(jnp.square(yi)) for yi in jax.tree_util.tree_leaves(y))
+                )
+                y = tmap(lambda yi: yi / (ny + 1e-30), y)
+                w = tmap(jnp.multiply, dinv, N_l(y))
+                lam = jnp.sqrt(
+                    sum(jnp.sum(jnp.square(wi)) for wi in jax.tree_util.tree_leaves(w))
+                )
+                y = w
+            return dinv, lam
+
+        key, sub = jax.random.split(key)
+        dinv, lam = jax.jit(setup_level)(sub)
+        lmax = 1.1 * float(lam)
+        lmin = lmax / cheb_alpha
+        theta, delta = 0.5 * (lmax + lmin), 0.5 * (lmax - lmin)
+        smoothers.append((dinv, theta, delta))
+
+    def cheb_smooth(N_l, dinv, theta, delta, b, v=None):
+        """`degree` steps of preconditioned Chebyshev for N_l v = b on the
+        interval [theta-delta, theta+delta] of D^-1 N_l (Saad Alg. 12.1);
+        v=None starts from zero (saves one matvec)."""
+        r = b if v is None else tmap(jnp.subtract, b, N_l(v))
+        d = tmap(lambda di, ri: di * ri / theta, dinv, r)
+        v = d if v is None else tmap(jnp.add, v, d)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        for _ in range(degree - 1):
+            r = tmap(jnp.subtract, r, N_l(d))
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = tmap(
+                lambda dk, di, ri: (rho_new * rho) * dk + (2.0 * rho_new / delta) * di * ri,
+                d,
+                dinv,
+                r,
+            )
+            v = tmap(jnp.add, v, d)
+            rho = rho_new
+        return v
+
+    # Exact coarse solve: materialize N_{L-1} column by column.
+    N_c, zeros_c = N_ops[L - 1]
+    sizes_c = [int(np.prod(z.shape)) for z in zeros_c]
+    m = sum(sizes_c)
+    if m > 4096:
+        return None
+
+    def unpack_c(v):
+        out, o = [], 0
+        for zl, n in zip(zeros_c, sizes_c):
+            out.append(v[o : o + n].reshape(zl.shape))
+            o += n
+        return tuple(out)
+
+    def pack_c(fields):
+        return jnp.concatenate([f.reshape(-1) for f in fields])
+
+    cols = jax.lax.map(
+        lambda e: pack_c(N_c(unpack_c(e))), jnp.eye(m, dtype=dtype)
+    )
+    A = np.asarray(cols)
+    A = 0.5 * (A + A.T)
+    ridge = coarse_ridge * max(float(np.trace(A)) / m, 1e-30)
+    Minv_c = jnp.asarray(np.linalg.inv(A + ridge * np.eye(m)), dtype=dtype)
+
+    def coarse_solve(r):
+        return unpack_c(Minv_c @ pack_c(r))
+
+    def vcycle(r, lvl):
+        if lvl == L - 1:
+            return coarse_solve(r)
+        N_l, _ = N_ops[lvl]
+        dinv, theta, delta = smoothers[lvl]
+        v = cheb_smooth(N_l, dinv, theta, delta, r)  # pre-smooth from zero
+        res = tmap(jnp.subtract, r, N_l(v))
+        vc = vcycle(restrict_adj(res, lvl), lvl + 1)
+        v = tmap(jnp.add, v, prolong_adj(vc, lvl))
+        return cheb_smooth(N_l, dinv, theta, delta, r, v=v)  # post-smooth
+
+    return lambda v: flatten0(vcycle(unflatten0(v), 0))
+
+
 def gauss_newton_step(f, x, damp=0.0, dampdiag=0.0, tol=1e-6, maxiter=100, precond_diag=None, precond=None):
     """One Gauss-Newton update for residual function `f` at point `x`.
 
@@ -191,10 +426,11 @@ def optimize_gauss_newton(args, problem, state, callback=None, **kwargs):
     maxiter = getattr(args, "linsolver_maxiter", None) or 100
     linsolver = getattr(args, "linsolver", "")
     use_bpx = linsolver == "multigrid"
+    use_vcycle = linsolver == "vcycle"
     use_jacobi = linsolver == "cg" or dampdiag > 0
 
-    if use_bpx:
-        # BPX multilevel preconditioner built from the normal operator at the
+    if use_bpx or use_vcycle:
+        # Multilevel preconditioner built from the normal operator at the
         # initial point (rebuilt lazily would recompile; scales are slowly
         # varying for mildly nonlinear problems).
         r0, pullback0 = jax.vjp(f, x)
@@ -203,17 +439,23 @@ def optimize_gauss_newton(args, problem, state, callback=None, **kwargs):
             return pullback0(jax.jvp(f, (x,), (v,))[1])[0]
 
         key0 = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
-        M = make_bpx_preconditioner(domain, state, normal_mv, x, key0)
+        if use_vcycle:
+            M = make_vcycle_preconditioner(domain, state, normal_mv, x, key0)
+        else:
+            M = make_bpx_preconditioner(domain, state, normal_mv, x, key0)
         if M is None:
-            printlog("BPX preconditioner unavailable (non-Field unknowns); using Jacobi")
-            use_bpx, use_jacobi = False, True
+            printlog(
+                "Multilevel preconditioner unavailable "
+                "(non-Field unknowns or no grid hierarchy); using Jacobi"
+            )
+            use_bpx, use_vcycle, use_jacobi = False, False, True
         else:
             step = jax.jit(
                 lambda x, key: gauss_newton_step(
                     f, x, damp=damp, tol=tol, maxiter=maxiter, precond=M
                 )
             )
-    if not use_bpx and use_jacobi:
+    if not (use_bpx or use_vcycle) and use_jacobi:
 
         @jax.jit
         def step(x, key):
@@ -222,7 +464,7 @@ def optimize_gauss_newton(args, problem, state, callback=None, **kwargs):
                 f, x, damp=damp, dampdiag=dampdiag, tol=tol, maxiter=maxiter, precond_diag=diag
             )
 
-    elif not use_bpx:
+    elif not (use_bpx or use_vcycle):
         step = jax.jit(
             lambda x, key: gauss_newton_step(f, x, damp=damp, tol=tol, maxiter=maxiter)
         )
@@ -231,7 +473,15 @@ def optimize_gauss_newton(args, problem, state, callback=None, **kwargs):
         loss, _, terms, names, norms = problem.eval_loss_grad(state)
         return {"terms": terms, "names": names, "norms": norms, "loss": loss}
 
-    kind = ", BPX-preconditioned" if use_bpx else (", Jacobi-preconditioned" if use_jacobi else "")
+    kind = (
+        ", BPX-preconditioned"
+        if use_bpx
+        else ", V-cycle-preconditioned"
+        if use_vcycle
+        else ", Jacobi-preconditioned"
+        if use_jacobi
+        else ""
+    )
     printlog(f"Running Gauss-Newton (matrix-free CG{kind}) optimizer")
     if callback:
         callback(state, args.epoch_start, eval_pinfo())

@@ -305,3 +305,56 @@ def test_optimize_gn_bpx_driver():
         err = np.sqrt(np.mean((np.asarray(problem.domain.field(state, "u")) - extra.ref_u) ** 2))
         results[linsolver] = float(err)
     assert results["multigrid"] < results["direct"] * 0.2, results
+
+
+def test_vcycle_preconditioner_spd_and_solves():
+    """The geometric V-cycle (Chebyshev-Jacobi smoothing, exact coarse
+    solve) must be symmetric positive definite -- a valid CG preconditioner
+    -- and accelerate CG decisively at a small iteration budget."""
+    import jax
+    import jax.numpy as jnp
+
+    from odil_tpu.models import poisson as pmodel
+    from odil_tpu.newton import make_vcycle_preconditioner
+
+    problem, state, extra = pmodel.build(
+        n=32, ndim=2, ref="hat", rhs="discrete", dtype=np.float64, multigrid=False
+    )
+    f, x = problem.residual_fn(state)
+    r0, pb = jax.vjp(f, x)
+
+    def nm(v):
+        return pb(jax.jvp(f, (x,), (v,))[1])[0]
+
+    M = make_vcycle_preconditioner(
+        problem.domain, state, nm, x, jax.random.PRNGKey(0), degree=3, nprobe=4, npower=8
+    )
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(rng.randn(x.size))
+    v = jnp.asarray(rng.randn(x.size))
+    a, b = float(jnp.vdot(M(u), v)), float(jnp.vdot(u, M(v)))
+    assert abs(a - b) <= 1e-10 * abs(a)  # symmetric
+    assert float(jnp.vdot(u, M(u))) > 0  # positive definite
+    rhs = -pb(r0)[0]
+    d_plain, _ = jax.scipy.sparse.linalg.cg(nm, rhs, tol=1e-12, maxiter=30)
+    d_mg, _ = jax.scipy.sparse.linalg.cg(nm, rhs, tol=1e-12, maxiter=30, M=M)
+    loss_plain = float(jnp.mean(f(x + d_plain) ** 2))
+    loss_mg = float(jnp.mean(f(x + d_mg) ** 2))
+    assert loss_mg < loss_plain * 0.05, (loss_plain, loss_mg)
+
+
+def test_optimize_gn_vcycle_driver():
+    """--linsolver vcycle through the gn driver recovers the Poisson field."""
+    from odil_tpu.models import poisson as pmodel
+
+    problem, state, extra = pmodel.build(
+        n=16, ndim=2, ref="hat", rhs="discrete", dtype=np.float64, multigrid=False
+    )
+    args = argparse.Namespace(
+        epochs=2, epoch_start=0, seed=0,
+        linsolver="vcycle", linsolver_maxiter=30, linsolver_tol=1e-12,
+        linsolver_damp=0, linsolver_dampdiag=0,
+    )
+    odil.util.optimize(args, "gn", problem, state)
+    err = np.sqrt(np.mean((np.asarray(problem.domain.field(state, "u")) - extra.ref_u) ** 2))
+    assert err < 1e-3, err
