@@ -14,7 +14,7 @@ from argparse import Namespace
 
 import numpy as np
 
-__all__ = ["ModBase", "ModJax", "ModNumpy", "ModTensorflow"]
+__all__ = ["ModBase", "ModJax", "ModNumpy", "ModTensorflow", "ModCupy"]
 
 
 class ModBase:
@@ -218,3 +218,4 @@ class ModNumpy(ModBase):
 # Name kept so reference scripts constructing `odil.backend.ModNumpy()` for
 # host-side work keep running (`examples/heat/heat.py:428`).
 ModTensorflow = None  # TensorFlow is not a supported backend in odil_tpu.
+ModCupy = None  # CuPy targets CUDA; on TPU the JAX backend covers its role.

@@ -102,7 +102,9 @@ def replicated(mesh):
     return NamedSharding(mesh, PartitionSpec())
 
 
-def multi_start(problem, state, nstarts, seed=0, scale=1.0, mesh=None, batch_axis=None):
+def multi_start(
+    problem, state, nstarts, seed=0, scale=1.0, mesh=None, batch_axis=None, per_instance=None
+):
     """Data parallelism over independent problem instances (SURVEY §2.3):
     batches `nstarts` optimization starts of the same problem along a
     leading instance axis.
@@ -113,18 +115,57 @@ def multi_start(problem, state, nstarts, seed=0, scale=1.0, mesh=None, batch_axi
     (their elementwise updates act per instance).  Starts are the current
     state plus Gaussian perturbations of magnitude `scale` (start 0 is
     unperturbed).  With `mesh` and `batch_axis`, the instance axis is
-    sharded across devices -- one training run per device group."""
+    sharded across devices -- one training run per device group.
+
+    per_instance: optional {field_name: array of shape (nstarts, *field)}
+    giving each instance its own value of that unknown -- the idiom for
+    batched inverse problems with per-instance measurement data (store the
+    data in a `frozen` Field and override it here).  Only single-array
+    fields (Field/Array) can be overridden."""
     import jax.numpy as jnp
 
+    from .fields import field_arrays
+
     loss_fn, arrays = problem.make_loss_fn(state)
+    # Map state field names to positions in the packed array list.
+    index_of = {}
+    pos = 0
+    for name, fobj in state.fields.items():
+        n = len(field_arrays(fobj))
+        index_of[name] = (pos, n)
+        pos += n
+    overrides = {}
+    for name, value in (per_instance or {}).items():
+        if name not in index_of:
+            raise KeyError(f"per_instance: unknown field '{name}'")
+        start, n = index_of[name]
+        if n != 1:
+            raise ValueError(
+                f"per_instance: field '{name}' has {n} arrays (multigrid/NN); "
+                "only single-array fields can be overridden"
+            )
+        value = jnp.asarray(value)
+        if value.shape[0] != nstarts:
+            raise ValueError(
+                f"per_instance['{name}']: leading dim {value.shape[0]} != nstarts {nstarts}"
+            )
+        overrides[start] = value
+
     key = jax.random.PRNGKey(seed)
     stacked = []
-    for a in arrays:
+    for i, a in enumerate(arrays):
         a = jnp.asarray(a)
-        key, sub = jax.random.split(key)
-        noise = scale * jax.random.normal(sub, (nstarts,) + a.shape, a.dtype)
-        noise = noise.at[0].set(0.0)
-        batched = a[None] + noise
+        if i in overrides:
+            batched = overrides[i].astype(a.dtype)
+            if batched.shape[1:] != a.shape:
+                raise ValueError(
+                    f"per_instance array {batched.shape[1:]} != field shape {a.shape}"
+                )
+        else:
+            key, sub = jax.random.split(key)
+            noise = scale * jax.random.normal(sub, (nstarts,) + a.shape, a.dtype)
+            noise = noise.at[0].set(0.0)
+            batched = a[None] + noise
         if mesh is not None and batch_axis is not None:
             spec = PartitionSpec(batch_axis, *([None] * a.ndim))
             batched = jax.device_put(batched, NamedSharding(mesh, spec))

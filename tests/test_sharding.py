@@ -153,3 +153,45 @@ def test_multi_start_data_parallel():
     l0 = np.asarray(per_instance([s for s in stacked]))
     l1 = np.asarray(per_instance([o for o in out]))
     assert np.all(l1 < l0)
+
+
+def test_multi_start_per_instance_data():
+    """Batched inverse problems with different measurement data per
+    instance: a frozen data Field is overridden per instance and each
+    instance must recover ITS OWN target."""
+    import jax.numpy as jnp
+
+    from odil_tpu.optim.adam import AdamOptimizer
+
+    domain = odil.Domain(cshape=(8, 8), dimnames=["x", "y"])
+
+    def operator(ctx):
+        return [ctx.field("u") - ctx.field("g", frozen=True)]
+
+    state = domain.init_state(
+        odil.State(fields={"u": None, "g": odil.Field(np.zeros(domain.size()))})
+    )
+    problem = odil.Problem(operator, domain)
+    nstarts = 3
+    targets = np.stack([np.full((8, 8), c, dtype=domain.dtype) for c in (1.0, -2.0, 0.5)])
+    loss_b, stacked = parallel.multi_start(
+        problem, state, nstarts=nstarts, seed=0, scale=0.1,
+        per_instance={"g": targets},
+    )
+    opt = AdamOptimizer(dtype=domain.dtype)
+    opt.bind(loss_b, tracers=problem.tracers, task_epochs=[400], names=[""])
+    out, _ = opt.run(stacked, epochs=400, lr=0.05)
+    # Field order: u then g.
+    u_out = np.asarray(out[0])
+    for i, c in enumerate((1.0, -2.0, 0.5)):
+        assert abs(u_out[i].mean() - c) < 0.05, (i, u_out[i].mean())
+    # The frozen data field stayed at its per-instance values.
+    np.testing.assert_allclose(np.asarray(out[1]), targets, atol=1e-5)
+
+
+def test_multi_start_per_instance_validation():
+    problem, state = poisson_like_problem(N=8)
+    with pytest.raises(KeyError):
+        parallel.multi_start(problem, state, 2, per_instance={"nope": np.zeros((2, 8, 8))})
+    with pytest.raises(ValueError):
+        parallel.multi_start(problem, state, 2, per_instance={"u": np.zeros((3, 8, 8))})
