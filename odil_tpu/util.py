@@ -90,6 +90,14 @@ def add_arguments(parser):
     add("--report_every", type=int, default=10, help="Epochs between reports to stdout")
     add("--history_every", type=int, default=1, help="Epochs between history entries")
     add("--checkpoint_every", type=int, default=0, help="Epochs between checkpoints")
+    add(
+        "--checkpoint_format",
+        type=str,
+        default="pickle",
+        choices=["pickle", "orbax"],
+        help="Checkpoint backend: reference-compatible pickle, or Orbax "
+        "async (background-thread save, zero step-time cost)",
+    )
     add("--frames", type=int, default=10, help="Frames to plot. Zero disables first frame.")
     add("--outdir", type=str, default=".", help="Output directory")
     add("--optimizer", type=str, default="adamn", help="Optimizer")
@@ -415,6 +423,7 @@ def make_callback(
     cbinfo.args = args
     cbinfo.frame = getattr(args, "frame_start", 0) or 0
     cbinfo.history = History(csvpath="train.csv", warmup=1) if args.history_every else None
+    cbinfo.orbax = None  # Lazily-created AsyncCheckpointer (--checkpoint_format orbax).
 
     def callback(state, epoch, pinfo):
         problem = cbinfo.problem
@@ -507,13 +516,24 @@ def make_callback(
             if checkpoint_func is not None:
                 checkpoint_func(problem, state, epoch, cbinfo)
             else:
-                from .checkpoint import checkpoint_save
-
-                path = f"checkpoint_{epoch:06d}.pickle"
-                printlog(path)
                 opt = getattr(problem, "_active_optimizer", None)
                 optstate = getattr(opt, "slots", None) if opt is not None else None
-                checkpoint_save(problem.domain, state, path, optstate=optstate)
+                if getattr(args, "checkpoint_format", "pickle") == "orbax":
+                    if cbinfo.orbax is None:
+                        import atexit
+
+                        from .checkpoint import AsyncCheckpointer
+
+                        cbinfo.orbax = AsyncCheckpointer("checkpoint_orbax")
+                        atexit.register(cbinfo.orbax.close)
+                    printlog(f"checkpoint_orbax/{epoch}")
+                    cbinfo.orbax.save(problem.domain, state, epoch, optstate=optstate)
+                else:
+                    from .checkpoint import checkpoint_save
+
+                    path = f"checkpoint_{epoch:06d}.pickle"
+                    printlog(path)
+                    checkpoint_save(problem.domain, state, path, optstate=optstate)
 
         cbinfo.time_callback += time.time() - time_prev
 

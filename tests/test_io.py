@@ -179,3 +179,71 @@ def test_profile_dir_capture(tmp_path):
     )
     odil.util.optimize_grad(args, "adamn", problem, state)
     assert (tmp_path / "trace").exists()
+
+
+def test_orbax_async_checkpointer_roundtrip(tmp_path):
+    """Orbax async save/restore of fields + optimizer slots; restore
+    defaults to the latest step."""
+    from odil_tpu.checkpoint import AsyncCheckpointer
+
+    domain = odil.Domain(cshape=(8, 4), dimnames=["x", "y"])
+    rng = np.random.RandomState(0)
+    u0 = rng.rand(8, 4).astype(domain.dtype)
+    state = domain.init_state(
+        odil.State(fields={"u": odil.Field(u0.copy()), "a": odil.Array(np.arange(3.0))})
+    )
+    ckpt = AsyncCheckpointer(str(tmp_path / "ckpt"))
+    optstate = {"m": [np.full((8, 4), 0.5, domain.dtype)], "step": np.asarray(7.0)}
+    ckpt.save(domain, state, 10, optstate=optstate)
+    # A later step becomes the latest.
+    state.fields["u"].array = u0 * 2
+    ckpt.save(domain, state, 20)
+    ckpt.wait()
+
+    state2 = domain.init_state(odil.State(fields={"u": None, "a": odil.Array(np.zeros(3))}))
+    out = ckpt.restore(domain, state2)  # latest (20): no optimizer payload
+    assert out is None
+    np.testing.assert_allclose(np.asarray(state2.fields["u"].array), u0 * 2, rtol=1e-6)
+    out10 = ckpt.restore(domain, state2, step=10)
+    np.testing.assert_allclose(np.asarray(state2.fields["u"].array), u0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(state2.fields["a"].array), np.arange(3.0), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out10["m"][0]), 0.5)
+    assert float(np.asarray(out10["step"])) == 7.0
+    ckpt.close()
+
+
+def test_orbax_checkpoint_format_flag(tmp_path):
+    """--checkpoint_format orbax routes the periodic checkpoint task
+    through the async checkpointer."""
+    import argparse
+
+    os.chdir(tmp_path)
+    domain = odil.Domain(cshape=(8,), dimnames=["x"])
+
+    def operator(ctx):
+        return [ctx.field("u") - 1.0]
+
+    state = domain.init_state(odil.State(fields={"u": None}))
+    problem = odil.Problem(operator, domain)
+    args = argparse.Namespace(
+        epochs=4, epoch_start=0, lr=0.1,
+        report_every=0, history_every=0, plot_every=0, checkpoint_every=2,
+        checkpoint_format="orbax",
+        history_full=0, frames=0, callback_update_state=0,
+        bfgs_m=10, bfgs_maxls=20, bfgs_pgtol=None,
+        adam_epsilon=None, adam_beta_1=None, adam_beta_2=None,
+    )
+    callback = odil.util.make_callback(problem, args)
+    odil.util.optimize_grad(args, "adamn", problem, state, callback=callback)
+    assert callback.cbinfo.orbax is not None
+    callback.cbinfo.orbax.wait()
+    assert callback.cbinfo.orbax.latest_step() == 4
+    from odil_tpu.checkpoint import AsyncCheckpointer
+
+    state2 = domain.init_state(odil.State(fields={"u": None}))
+    opt2 = AsyncCheckpointer("checkpoint_orbax")
+    optstate = opt2.restore(domain, state2, step=2)
+    assert optstate is not None and "m" in optstate  # Adam slots were saved
+    np.testing.assert_allclose(
+        np.asarray(state2.fields["u"].array).mean(), 
+        np.asarray(domain.field(state, "u")).mean(), atol=0.5)
