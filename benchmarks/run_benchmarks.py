@@ -98,6 +98,75 @@ def build_poisson(n, ndim=2):
     return odil.Problem(poisson.operator, domain, extra), state
 
 
+def lbfgs_epoch_runner(problem, state, lr=1.0):
+    """Returns run(n) executing n device-resident L-BFGS iterations."""
+    import jax.numpy as jnp
+
+    from odil_tpu.optim.lbfgs import LbfgsOptimizer
+
+    loss_fn, arrays = problem.make_loss_fn(state)
+    opt = LbfgsOptimizer(dtype=problem.domain.dtype)
+    opt.bind(loss_fn, tracers=problem.tracers, task_epochs=None, names=[""])
+    x = [jnp.asarray(a) for a in arrays]
+
+    def run(n):
+        nonlocal x
+        x, info = opt.run(x, epochs=n, lr=lr)
+        loss, *_ = loss_fn(x, {"epoch": n})
+        return float(loss)
+
+    return run
+
+
+def gn_step_runner(problem, state, linsolver="vcycle", maxiter=100):
+    """Returns run(n) executing n matrix-free Gauss-Newton steps (CG with
+    the requested multilevel preconditioner; setup excluded from timing)."""
+    import jax
+
+    from odil_tpu import newton
+
+    f, x0 = problem.residual_fn(state)
+    r0, pb = jax.vjp(f, x0)
+
+    def nm(v):
+        return pb(jax.jvp(f, (x0,), (v,))[1])[0]
+
+    key = jax.random.PRNGKey(0)
+    maker = (
+        newton.make_vcycle_preconditioner
+        if linsolver == "vcycle"
+        else newton.make_bpx_preconditioner
+    )
+    M = maker(problem.domain, state, nm, x0, key)
+    step = jax.jit(
+        lambda x: newton.gauss_newton_step(f, x, tol=1e-12, maxiter=maxiter, precond=M)
+    )
+    xs = [x0]
+
+    def run(n):
+        import jax.numpy as jnp
+
+        x = xs[0]
+        for _ in range(n):
+            x, info = step(x)
+        x.block_until_ready()
+        xs[0] = x
+        return float(jnp.mean(jnp.square(f(x))))
+
+    return run
+
+
+def build_poisson_gn(n):
+    from odil_tpu import runtime
+    from odil_tpu.models import poisson as pmodel
+
+    runtime.ensure_x64()
+    problem, state, extra = pmodel.build(
+        n=n, ndim=2, ref="osc", rhs="exact", dtype=np.float64, multigrid=False
+    )
+    return problem, state
+
+
 CONFIGS = {
     "veltracer_64_xla": lambda: (build_veltracer(64, 64, 64, "xla"), 64 * 64 * 64),
     "veltracer_64_pallas": lambda: (build_veltracer(64, 64, 64, "pallas"), 64 * 64 * 64),
@@ -108,17 +177,45 @@ CONFIGS = {
     "poisson_1024": lambda: (build_poisson(1024), 1024 * 1024),
 }
 
+# Per-iteration timings of the second-order and quasi-Newton paths
+# (ROADMAP item 8).  "epochs" = GN steps / L-BFGS iterations here; use
+# --epochs 3 or so for the GN rows.
+SPECIAL_CONFIGS = {
+    "poisson_gn_vcycle_128": lambda: (build_poisson_gn(128), 128 * 128, "gn_vcycle"),
+    "poisson_gn_bpx_128": lambda: (build_poisson_gn(128), 128 * 128, "gn_bpx"),
+    "veltracer_64_lbfgs": lambda: (build_veltracer(64, 64, 64, "pallas"), 64 * 64 * 64, "lbfgs"),
+}
+CONFIGS.update({k: v for k, v in SPECIAL_CONFIGS.items()})
+
 
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--configs", nargs="*", default=list(CONFIGS))
     parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument(
+        "--platform",
+        default="default",
+        choices=["default", "cpu"],
+        help="cpu forces the host platform (the JAX_PLATFORMS env var may "
+        "be pinned by the environment; this uses jax.config instead)",
+    )
     args = parser.parse_args()
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     rows = []
     for name in args.configs:
-        (problem, state), cells = CONFIGS[name]()
-        run = adam_epoch_runner(problem, state)
+        out = CONFIGS[name]()
+        kind = out[2] if len(out) > 2 else "adam"
+        (problem, state), cells = out[0], out[1]
+        if kind == "lbfgs":
+            run = lbfgs_epoch_runner(problem, state)
+        elif kind.startswith("gn_"):
+            run = gn_step_runner(problem, state, linsolver=kind[3:])
+        else:
+            run = adam_epoch_runner(problem, state)
         run(args.epochs)  # Warmup compiles the exact chunk length.
         t0 = time.perf_counter()
         loss = run(args.epochs)
