@@ -160,6 +160,7 @@ def make_vcycle_preconditioner(
     npower=12,
     max_nlvl=None,
     coarse_ridge=1e-8,
+    dense_cutoff=1024,
 ):
     """Geometric V-cycle preconditioner for the GN normal equations.
 
@@ -180,9 +181,14 @@ def make_vcycle_preconditioner(
       the coarse-grid-invisible half of the spectrum of a squared
       2nd-order operator (frequency halving divides an A^2 eigenvalue by
       ~16);
-    - coarsest level: exact dense solve -- N_{L-1} is materialized
-      column-by-column at setup (a handful of unknowns) and inverted on the
-      host with a relative ridge, so the cycle is strictly SPD.
+    - coarse level: exact dense solve.  The hierarchy is truncated at the
+      FIRST level whose total unknown count is <= dense_cutoff; that level's
+      Galerkin operator is materialized column-by-column at setup (jitted
+      lax.map of fine matvecs) and inverted on the host with a relative
+      ridge, so the cycle is strictly SPD.  Truncating early both halves
+      the per-application fine-matvec count (every deeper level would cost
+      fine matvecs too, since the Galerkin operators are matrix-free) and
+      strengthens the coarse correction (exact solve in a richer space).
 
     Polynomial smoothers are self-adjoint in the N_l inner product, so the
     same pre/post smoothing yields a fixed symmetric positive-definite
@@ -222,6 +228,12 @@ def make_vcycle_preconditioner(
             level_cshape(shape, loc, fdepth(i, lvl))
             for i, (_, loc, shape, _, _) in enumerate(layout)
         ]
+
+    # Truncate at the first level small enough for an exact dense solve.
+    for lvl in range(1, L):
+        if sum(int(np.prod(s)) for s in shapes_at(lvl)) <= dense_cutoff:
+            L = lvl + 1
+            break
 
     def unflatten0(v):
         return tuple(
