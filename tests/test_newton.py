@@ -358,3 +358,48 @@ def test_optimize_gn_vcycle_driver():
     odil.util.optimize(args, "gn", problem, state)
     err = np.sqrt(np.mean((np.asarray(problem.domain.field(state, "u")) - extra.ref_u) ** 2))
     assert err < 1e-3, err
+
+
+def test_vcycle_multifield_joint_hierarchy():
+    """The V-cycle's joint multi-field layout (coupled unknowns u, v with a
+    shared hierarchy) must stay symmetric and reach the GN optimum."""
+    import jax
+    import jax.numpy as jnp
+
+    from odil_tpu.newton import make_vcycle_preconditioner
+
+    np.random.seed(0)
+    N = 32
+    domain = odil.Domain(cshape=(N, N), dimnames=["x", "y"], dtype=np.float64)
+    xx, yy = map(np.asarray, domain.points())
+    u_ref = np.sin(2 * np.pi * xx) * np.sin(4 * np.pi * yy)
+
+    def operator(ctx):
+        hx, hy = ctx.step()
+        u = ctx.field("u")
+        lap = (
+            (ctx.field("u", 1, 0) - 2 * u + ctx.field("u", -1, 0)) / hx**2
+            + (ctx.field("u", 0, 1) - 2 * u + ctx.field("u", 0, -1)) / hy**2
+        )
+        return [lap + ctx.field("v"), u - ctx.extra.u_ref, 0.01 * ctx.field("v")]
+
+    state = domain.init_state(odil.State(fields={"u": None, "v": None}))
+    problem = odil.Problem(operator, domain, argparse.Namespace(u_ref=domain.cast(u_ref)))
+    f, x = problem.residual_fn(state)
+    r0, pb = jax.vjp(f, x)
+
+    def nm(w):
+        return pb(jax.jvp(f, (x,), (w,))[1])[0]
+
+    M = make_vcycle_preconditioner(
+        domain, state, nm, x, jax.random.PRNGKey(0), nprobe=4, npower=8
+    )
+    u = jnp.asarray(np.random.randn(x.size))
+    w = jnp.asarray(np.random.randn(x.size))
+    a, b = float(jnp.vdot(M(u), w)), float(jnp.vdot(u, M(w)))
+    assert abs(a - b) <= 1e-10 * abs(a)
+    d_mg, _ = jax.scipy.sparse.linalg.cg(nm, -pb(r0)[0], tol=1e-13, maxiter=40, M=M)
+    d_pl, _ = jax.scipy.sparse.linalg.cg(nm, -pb(r0)[0], tol=1e-13, maxiter=40)
+    loss_mg = float(jnp.mean(f(x + d_mg) ** 2))
+    loss_pl = float(jnp.mean(f(x + d_pl) ** 2))
+    assert loss_mg <= loss_pl * 1.2, (loss_mg, loss_pl)
