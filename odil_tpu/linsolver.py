@@ -127,7 +127,8 @@ def add_arguments(parser):
     add("--linsolver_history", type=int, default=0, help="Dump linsolver status to history")
     add("--lr", type=float, default=1e-3, help="Learning rate")
     add("--nlvl", type=int, default=100, help="Multigrid levels")
-    add("--smooth_pre", type=int, default=2, help="Pre-smoothing steps")
+    add("--smooth_pre", type=int, default=3,
+        help="Pre-smoothing steps (vcycle: Chebyshev smoother degree)")
     add("--smooth_post", type=int, default=2, help="Post-smoothing steps")
     add("--omega", type=float, default=0.6, help="Jacobi smoother relaxation factor")
     add("--ndirect", type=int, default=3, help="Direct-solver threshold grid size")

@@ -452,7 +452,22 @@ def optimize_gauss_newton(args, problem, state, callback=None, **kwargs):
 
         key0 = jax.random.PRNGKey(getattr(args, "seed", 0) or 0)
         if use_vcycle:
-            M = make_vcycle_preconditioner(domain, state, normal_mv, x, key0)
+            # Reference MG knobs map onto the V-cycle: --nlvl caps the
+            # hierarchy depth, --smooth_pre sets the Chebyshev degree,
+            # --ndirect^2 scales the exact-coarse-solve cutoff.
+            nlvl = getattr(args, "nlvl", None)
+            degree = getattr(args, "smooth_pre", None) or 3
+            ndirect = getattr(args, "ndirect", None)
+            M = make_vcycle_preconditioner(
+                domain,
+                state,
+                normal_mv,
+                x,
+                key0,
+                degree=max(1, int(degree)),
+                max_nlvl=nlvl if nlvl and nlvl < 100 else None,
+                dense_cutoff=max(1024, int(ndirect) ** 2) if ndirect else 1024,
+            )
         else:
             M = make_bpx_preconditioner(domain, state, normal_mv, x, key0)
         if M is None:
