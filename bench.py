@@ -30,7 +30,7 @@ WARMUP_EPOCHS = 20
 MEASURE_EPOCHS = 200
 
 
-def build():
+def build(kernel="pallas_mg"):
     import odil_tpu as odil
 
     import os
@@ -41,9 +41,10 @@ def build():
     )
     import veltracer
 
-    kernel = "pallas"
+    from odil_tpu.models import veltracer as vtm
+
     args = veltracer.parse_args(
-        ["--Nt", str(NT), "--Nx", str(NX), "--Ny", str(NY), "--kernel", kernel]
+        ["--Nt", str(NT), "--Nx", str(NX), "--Ny", str(NY), "--kernel", "pallas"]
     )
     args.Nt, args.Ny = NT, NY
     domain = odil.Domain(
@@ -63,8 +64,14 @@ def build():
         u_final=domain.cast(veltracer.tracer_blob(x, y, 1)),
         args=args,
     )
-    op = veltracer.operator_advection_fused if kernel == "pallas" else veltracer.operator_advection
-    problem = odil.Problem(op, domain, extra)
+    op = {
+        "pallas": vtm.operator_fused,
+        # pallas_mg: finest multigrid Horner step fused into the kernel
+        # (ops/rowwise_mg.py); exact up to MXU-matmul rounding.
+        "pallas_mg": vtm.operator_fused_mg,
+        "xla": vtm.operator,
+    }[kernel]
+    problem = odil.Problem(op, domain, extra, mg_partial=(kernel == "pallas_mg"))
     return problem, state
 
 
@@ -72,6 +79,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=MEASURE_EPOCHS)
     parser.add_argument("--warmup", type=int, default=WARMUP_EPOCHS)
+    parser.add_argument("--kernel", type=str, default="pallas_mg",
+                        choices=["pallas", "pallas_mg", "xla"],
+                        help="Residual kernel: fused Pallas row-wise, the "
+                             "same with the finest multigrid Horner step "
+                             "fused in (default), or plain XLA")
     parser.add_argument("--slot_dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"],
                         help="Adam moment-slot storage dtype (bfloat16 halves "
@@ -82,7 +94,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    problem, state = build()
+    problem, state = build(kernel=args.kernel)
     loss_fn, arrays = problem.make_loss_fn(state)
     grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 

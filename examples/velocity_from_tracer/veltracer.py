@@ -30,7 +30,7 @@ operator_advection_fused = model.operator_fused
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(formatter_class=argparse.ArgumentDefaultsHelpFormatter)
-    parser.add_argument("--kernel", type=str, default="xla", choices=["xla", "pallas"],
+    parser.add_argument("--kernel", type=str, default="xla", choices=["xla", "pallas", "pallas_mg"],
                         help="Residual evaluation path: XLA-fused or the Pallas row-wise kernel")
     parser.add_argument("--Nt", type=int, default=None, help="Grid size in t")
     parser.add_argument("--Nx", type=int, default=64, help="Grid size in x")

@@ -54,6 +54,8 @@ class Context:
         self.mod = domain.mod
         self.distinct_shift = distinct_shift
         self.bindings = bindings
+        # Filled by Problem when mg_partial=True: key -> (term0, factor0, P).
+        self.mg_partials = {}
         # Descriptor (key, shift, loc) -> resolved sample array.
         self.desc_to_array = dict()
         # Descriptors needing a full Jacobian (Array / NeuralNet unknowns).

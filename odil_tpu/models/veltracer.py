@@ -21,7 +21,7 @@ from .. import Domain, Field, Problem, State
 from ..context import Context
 from ..ops import rowwise_loss_terms
 
-__all__ = ["tracer_blob", "operator", "operator_fused", "build"]
+__all__ = ["tracer_blob", "operator", "operator_fused", "operator_fused_mg", "build"]
 
 
 def tracer_blob(x, y, t):
@@ -91,19 +91,8 @@ def operator(ctx):
     return res
 
 
-def operator_fused(ctx):
-    """Same discretization through the fused row-wise Pallas kernel: one
-    pass over the state in VMEM, recompute-based backward, loss terms
-    returned as Context.Raw scalars."""
-    mod = ctx.mod
-    extra = ctx.extra
-    args = extra.args
-    dt, dx, dy = map(float, ctx.step())
-    kimp, kxreg, ktreg = args.kimp, args.kxreg, args.ktreg
-
-    u = ctx.field("u")
-    vx = ctx.field("vx")
-    vy = ctx.field("vy")
+def _make_row_fn(mod, dt, dx, dy, kimp, kxreg, ktreg):
+    """The shared per-row residual function of the fused veltracer kernels."""
 
     def row_fn(it, T, rows, data_rows, params, consts):
         (u_r, vx_r, vy_r) = rows
@@ -140,9 +129,53 @@ def operator_fused(ctx):
             ]
         return tuple(res)
 
-    nterms = 2 + (2 if kxreg else 0) + (2 if ktreg else 0)
+    return row_fn
+
+
+def operator_fused(ctx):
+    """Same discretization through the fused row-wise Pallas kernel: one
+    pass over the state in VMEM, recompute-based backward, loss terms
+    returned as Context.Raw scalars."""
+    extra = ctx.extra
+    args = extra.args
+    dt, dx, dy = map(float, ctx.step())
+    row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
+    u = ctx.field("u")
+    vx = ctx.field("vx")
+    vy = ctx.field("vy")
+    nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
     terms = rowwise_loss_terms(
         row_fn, (u, vx, vy), consts=(extra.u_init, extra.u_final), nterms=nterms, hist=1
+    )
+    return [Context.Raw(t) for t in terms]
+
+
+def operator_fused_mg(ctx):
+    """operator_fused with the finest multigrid Horner step fused into the
+    kernel (ops/rowwise_mg.py): fine rows are reconstructed in VMEM from the
+    level-0 terms plus the level-1 Horner partial, removing the full-size
+    reconstruct/transpose HBM sweeps of the XLA ladder.  Falls back to
+    operator_fused when no multigrid partials are available (plain-Field
+    states, eval paths that flatten fully)."""
+    parts = getattr(ctx, "mg_partials", {})
+    keys = ("u", "vx", "vy")
+    if not all(k in parts for k in keys):
+        return operator_fused(ctx)
+    from ..ops.rowwise_mg import rowwise_loss_terms_mg
+
+    extra = ctx.extra
+    args = extra.args
+    dt, dx, dy = map(float, ctx.step())
+    row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
+    nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
+    terms = rowwise_loss_terms_mg(
+        row_fn,
+        t0s=tuple(parts[k][0] for k in keys),
+        coarse=tuple(parts[k][2] for k in keys),
+        factors0=tuple(parts[k][1] for k in keys),
+        consts=(extra.u_init, extra.u_final),
+        nterms=nterms,
+        hist=1,
     )
     return [Context.Raw(t) for t in terms]
 
@@ -202,5 +235,10 @@ def build(
         exact_uu=exact_uu,
         args=args,
     )
-    op = operator_fused if kernel == "pallas" else operator
-    return Problem(op, domain, extra), state, extra
+    if kernel == "pallas_mg":
+        op, mg_partial = operator_fused_mg, bool(multigrid)
+    elif kernel == "pallas":
+        op, mg_partial = operator_fused, False
+    else:
+        op, mg_partial = operator, False
+    return Problem(op, domain, extra, mg_partial=mg_partial), state, extra

@@ -1,0 +1,403 @@
+"""Row-wise residual kernel with the finest multigrid Horner step fused in.
+
+The multigrid reconstruction u = sum_l interp^l(term_l * factor_l) costs two
+full-size HBM sweeps per epoch (forward reconstruct + transposed backward),
+which the epoch-cost breakdown (BENCH_NOTES.md) shows is ~40% of the
+flagship epoch.  This kernel removes the finest -- and only expensive --
+Horner step from XLA: the caller supplies
+
+  t0:     the level-0 term array, (T, X, Y) per field;
+  coarse: the level-1 Horner partial P = sum_{l>=1} interp^{l-1}(term_l *
+          factor_l), (Tc, CX, CY) per field (computed by XLA at <= 1/8 of
+          the fine size);
+
+and every program reconstructs the fine rows it needs in VMEM:
+
+  fine[r] = factor0 * t0[r] + Wx @ blend_t(P[r>>1], P[r>>1 + 1]) @ Wy^T
+
+where blend_t is the exact node-located linear interpolation along the time
+axis (fine[2j] = c[j], fine[2j+1] = (c[j]+c[j+1])/2) and Wx/Wy are the same
+dense per-axis prolongation matrices the XLA path multiplies with
+(`transfer._interp_matrix`), so the reconstruction is bit-for-bit the same
+operator, reassociated.  The 2D upsample runs on the MXU.
+
+Backward follows from linearity without differentiating the reconstruction:
+the existing recompute-based row cotangent dfine[i] (jax.vjp of the row
+function inside the kernel) splits into
+
+  d t0[i]  = factor0 * dfine[i]
+  d P      += w_k(i) * Wx^T @ dfine[i] @ Wy    into rows i//2 and i//2 + 1
+
+accumulated across the sequential grid into two resident coarse outputs
+(k = 0, 1) that the wrapper sums.
+
+Restrictions (asserted): 3D fields, time axis node-located (odd T,
+T = 2*(Tc-1)+1), x/y cell-located with exact halving (CX = X//2).
+Grid-shaped `data` and broadcast `params`/`consts` groups behave as in
+``rowwise.py``.  Reference baseline for the semantics:
+``src/odil/core.py:245-263`` (multigrid_to_regular).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .rowwise import _row_spec, _whole_spec
+
+__all__ = ["rowwise_loss_terms_mg"]
+
+
+def _coarse_spec(shape, T, Tc, offset, k):
+    """BlockSpec selecting coarse row clamp(((i + offset) % T) // 2 + k)."""
+    zeros = (0,) * (len(shape) - 1)
+
+    def index_map(i):
+        r = (i + offset) % T
+        return (jnp.minimum(r // 2 + k, Tc - 1),) + zeros
+
+    return pl.BlockSpec((1,) + tuple(shape[1:]), index_map)
+
+
+def _up2d(c, Wx, Wy):
+    return Wx @ (c @ Wy.T)
+
+
+def _down2d(d, Wx, Wy):
+    return Wx.T @ (d @ Wy)
+
+
+def _recon(r, t0_plane, c0, c1, Wx, Wy, f0):
+    w = 0.5 * (r % 2).astype(c0.dtype)
+    c = (1.0 - w) * c0 + w * c1
+    return f0 * t0_plane + _up2d(c, Wx, Wy)
+
+
+def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts):
+    T = t0s[0].shape[0]
+    Tc = coarse[0].shape[0]
+    nf, np_, nd = len(t0s), len(params), len(data)
+
+    def kernel(*refs):
+        pos = 0
+        t0_refs = refs[pos : pos + nf * (hist + 1)]
+        pos += nf * (hist + 1)
+        c_refs = refs[pos : pos + nf * (hist + 1) * 2]
+        pos += nf * (hist + 1) * 2
+        data_refs = refs[pos : pos + nd]
+        pos += nd
+        w_refs = refs[pos : pos + 2]
+        pos += 2
+        const_refs = refs[pos : pos + len(consts)]
+        pos += len(consts)
+        param_refs = refs[pos : pos + np_]
+        out_ref = refs[-1]
+
+        i = pl.program_id(0)
+        Wx_v, Wy_v = w_refs[0][...], w_refs[1][...]
+        consts_v = tuple(r[...] for r in const_refs)
+        params_v = tuple(r[...] for r in param_refs)
+
+        rows = []
+        for f in range(nf):
+            frows = []
+            for o in range(hist + 1):
+                r = (i - o) % T
+                c0 = c_refs[(f * (hist + 1) + o) * 2][0]
+                c1 = c_refs[(f * (hist + 1) + o) * 2 + 1][0]
+                t0p = t0_refs[f * (hist + 1) + o][0]
+                frows.append(_recon(r, t0p, c0, c1, Wx_v, Wy_v, f0s[f]))
+            rows.append(tuple(frows))
+        rows = tuple(rows)
+        data_rows = tuple(r[0] for r in data_refs)
+        res = row_fn(i, T, rows, data_rows, params_v, consts_v)
+        sums = jnp.stack([jnp.sum(r * r) for r in res])
+
+        @pl.when(i == 0)
+        def _():
+            out_ref[0, :] = jnp.zeros((nterms,), out_ref.dtype)
+
+        out_ref[0, :] += sums
+
+    in_specs = (
+        [_row_spec(t.shape, T, -o) for t in t0s for o in range(hist + 1)]
+        + [
+            _coarse_spec(c.shape, T, Tc, -o, k)
+            for c in coarse
+            for o in range(hist + 1)
+            for k in (0, 1)
+        ]
+        + [_row_spec(d.shape, T, 0) for d in data]
+        + [_whole_spec(Wx.shape), _whole_spec(Wy.shape)]
+        + [_whole_spec(c.shape) for c in consts]
+        + [_whole_spec(p.shape) for p in params]
+    )
+    inputs = (
+        [t for t in t0s for _ in range(hist + 1)]
+        + [c for c in coarse for _ in range(2 * (hist + 1))]
+        + list(data)
+        + [Wx, Wy]
+        + list(consts)
+        + list(params)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nterms), lambda i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, nterms), t0s[0].dtype),
+        interpret=interpret,
+    )(*inputs)
+    return out[0]
+
+
+def _backward_mg(
+    row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts, g
+):
+    """Gradients w.r.t. (t0s, coarse, params) of sum_k g[k] * S[k]."""
+    T = t0s[0].shape[0]
+    Tc = coarse[0].shape[0]
+    nf, np_, nd = len(t0s), len(params), len(data)
+    span = 2 * hist + 1
+    gmat = jnp.reshape(g, (1, nterms))
+
+    def kernel(*refs):
+        pos = 0
+        t0_refs = refs[pos : pos + nf * span]
+        pos += nf * span
+        c_refs = refs[pos : pos + nf * span * 2]
+        pos += nf * span * 2
+        data_refs = refs[pos : pos + nd * (hist + 1)]
+        pos += nd * (hist + 1)
+        w_refs = refs[pos : pos + 2]
+        pos += 2
+        const_refs = refs[pos : pos + len(consts)]
+        pos += len(consts)
+        param_refs = refs[pos : pos + np_]
+        pos += np_
+        g_ref = refs[pos]
+        out_t0_refs = refs[pos + 1 : pos + 1 + nf]
+        out_c0_refs = refs[pos + 1 + nf : pos + 1 + 2 * nf]
+        out_c1_refs = refs[pos + 1 + 2 * nf : pos + 1 + 3 * nf]
+        out_param_refs = refs[pos + 1 + 3 * nf :]
+
+        i = pl.program_id(0)
+        Wx_v, Wy_v = w_refs[0][...], w_refs[1][...]
+        consts_v = tuple(r[...] for r in const_refs)
+        params_v = tuple(r[...] for r in param_refs)
+        gvec = g_ref[0]
+
+        recon_memo = {}
+
+        def fine_plane(f, d):
+            if (f, d) not in recon_memo:
+                r = (i + d) % T
+                t0p = t0_refs[f * span + (d + hist)][0]
+                c0 = c_refs[(f * span + (d + hist)) * 2][0]
+                c1 = c_refs[(f * span + (d + hist)) * 2 + 1][0]
+                recon_memo[(f, d)] = _recon(r, t0p, c0, c1, Wx_v, Wy_v, f0s[f])
+            return recon_memo[(f, d)]
+
+        accs = [jnp.zeros(t0s[f].shape[1:], t0s[f].dtype) for f in range(nf)]
+        param_accs = [jnp.zeros(p.shape, p.dtype) for p in params]
+        for o in range(hist + 1):
+            j = (i + o) % T
+            data_rows = tuple(data_refs[d * (hist + 1) + o][0] for d in range(nd))
+
+            def residuals_of(*args, _j=j, _data=data_rows):
+                flat_rows = args[: nf * (hist + 1)]
+                pv = args[nf * (hist + 1) :]
+                rows = tuple(
+                    tuple(flat_rows[f * (hist + 1) + m] for m in range(hist + 1))
+                    for f in range(nf)
+                )
+                return tuple(row_fn(_j, T, rows, _data, pv, consts_v))
+
+            flat_rows = tuple(fine_plane(f, o - m) for f in range(nf) for m in range(hist + 1))
+            res, vjp_fn = jax.vjp(residuals_of, *(flat_rows + tuple(params_v)))
+            w = tuple(2.0 * gvec[k] * res[k] for k in range(nterms))
+            cots = vjp_fn(w)
+            for f in range(nf):
+                accs[f] = accs[f] + cots[f * (hist + 1) + o]
+            if o == 0:
+                for p in range(np_):
+                    param_accs[p] = param_accs[p] + cots[nf * (hist + 1) + p]
+
+        # Linearity of the reconstruction: split dfine into t0 and coarse
+        # cotangents without differentiating the reconstruction itself.
+        wt = 0.5 * (i % 2).astype(t0s[0].dtype)
+        for f in range(nf):
+            out_t0_refs[f][0] = f0s[f] * accs[f]
+            dc = _down2d(accs[f], Wx_v, Wy_v)
+            # k=0 target row i//2: visited by programs 2b, 2b+1.
+            @pl.when(i % 2 == 0)
+            def _(f=f):
+                out_c0_refs[f][0] = jnp.zeros_like(out_c0_refs[f][0])
+
+            out_c0_refs[f][0] += (1.0 - wt) * dc
+            # k=1 target row i//2+1 (clamped): visited by 2b-2, 2b-1 and,
+            # for the clamped final even program, re-visited -- accumulate
+            # there instead of re-initializing.
+            @pl.when((i % 2 == 0) & (i // 2 + 1 < Tc))
+            def _(f=f):
+                out_c1_refs[f][0] = jnp.zeros_like(out_c1_refs[f][0])
+
+            out_c1_refs[f][0] += wt * dc
+        for p in range(np_):
+
+            @pl.when(i == 0)
+            def _(p=p):
+                out_param_refs[p][...] = jnp.zeros(params[p].shape, params[p].dtype)
+
+            out_param_refs[p][...] += param_accs[p]
+
+    def _c0_spec(shape):
+        zeros = (0,) * (len(shape) - 1)
+        return pl.BlockSpec((1,) + tuple(shape[1:]), lambda i: (i // 2,) + zeros)
+
+    def _c1_spec(shape):
+        zeros = (0,) * (len(shape) - 1)
+        return pl.BlockSpec(
+            (1,) + tuple(shape[1:]), lambda i: (jnp.minimum(i // 2 + 1, Tc - 1),) + zeros
+        )
+
+    in_specs = (
+        [_row_spec(t.shape, T, d) for t in t0s for d in range(-hist, hist + 1)]
+        + [
+            _coarse_spec(c.shape, T, Tc, d, k)
+            for c in coarse
+            for d in range(-hist, hist + 1)
+            for k in (0, 1)
+        ]
+        + [_row_spec(d.shape, T, o) for d in data for o in range(hist + 1)]
+        + [_whole_spec(Wx.shape), _whole_spec(Wy.shape)]
+        + [_whole_spec(c.shape) for c in consts]
+        + [_whole_spec(p.shape) for p in params]
+        + [_whole_spec((1, nterms))]
+    )
+    inputs = (
+        [t for t in t0s for _ in range(span)]
+        + [c for c in coarse for _ in range(2 * span)]
+        + [d for d in data for _ in range(hist + 1)]
+        + [Wx, Wy]
+        + list(consts)
+        + list(params)
+        + [gmat]
+    )
+    out_specs = (
+        [_row_spec(t.shape, T, 0) for t in t0s]
+        + [_c0_spec(c.shape) for c in coarse]
+        + [_c1_spec(c.shape) for c in coarse]
+        + [_whole_spec(p.shape) for p in params]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in t0s]
+        + [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in coarse] * 2
+        + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*inputs)
+    dt0 = tuple(outs[:nf])
+    dc0 = outs[nf : 2 * nf]
+    dc1 = outs[2 * nf : 3 * nf]
+    dparams = tuple(outs[3 * nf :])
+    zero_row = lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[1:]])  # noqa: E731
+    dcoarse = tuple(a + zero_row(b) for a, b in zip(dc0, dc1))
+    return dt0, dcoarse, dparams
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _rowwise_sumsq_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts):
+    return _forward_mg(
+        row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts
+    )
+
+
+def _fwd(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts):
+    out = _forward_mg(
+        row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts
+    )
+    return out, (t0s, coarse, Wx, Wy, params, data, consts)
+
+def _bwd(row_fn, nterms, hist, f0s, interpret, saved, g):
+    t0s, coarse, Wx, Wy, params, data, consts = saved
+    dt0, dcoarse, dparams = _backward_mg(
+        row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts, g
+    )
+    return (
+        dt0,
+        dcoarse,
+        None,
+        None,
+        dparams,
+        tuple(None for _ in data),
+        tuple(None for _ in consts),
+    )
+
+
+_rowwise_sumsq_mg.defvjp(_fwd, _bwd)
+
+
+def rowwise_loss_terms_mg(
+    row_fn,
+    t0s,
+    coarse,
+    factors0,
+    params=(),
+    data=(),
+    consts=(),
+    nterms=1,
+    hist=1,
+    interpret=None,
+):
+    """Mean-squared loss terms with the finest MG Horner step fused in.
+
+    t0s: per-field level-0 term arrays (T, X, Y), T odd (node t-axis).
+    coarse: per-field level-1 Horner partials (Tc, X//2, Y//2).
+    factors0: per-field level-0 multigrid factor (static floats).
+    Other groups and row_fn contract as in ``rowwise_loss_terms``."""
+    from .rowwise import _on_tpu
+
+    t0s = tuple(jnp.asarray(t) for t in t0s)
+    coarse = tuple(jnp.asarray(c) for c in coarse)
+    T = t0s[0].shape[0]
+    Tc = coarse[0].shape[0]
+    assert t0s[0].ndim == 3, "mg-fused kernel supports 3D (t, x, y) fields"
+    assert T % 2 == 1 and T == 2 * (Tc - 1) + 1, (T, Tc)
+    X, Y = t0s[0].shape[1:]
+    CX, CY = coarse[0].shape[1:]
+    assert (CX, CY) == (X // 2, Y // 2), (t0s[0].shape, coarse[0].shape)
+    if interpret is None:
+        interpret = not _on_tpu()
+
+    from ..transfer import _interp_matrix
+
+    dtype = t0s[0].dtype
+    Wx = jnp.asarray(_interp_matrix(CX, "c", dtype))
+    Wy = jnp.asarray(_interp_matrix(CY, "c", dtype))
+    f0s = tuple(float(f) for f in factors0)
+
+    sums = _rowwise_sumsq_mg(
+        row_fn,
+        nterms,
+        hist,
+        f0s,
+        interpret,
+        t0s,
+        tuple(coarse),
+        Wx,
+        Wy,
+        tuple(jnp.asarray(p) for p in params),
+        tuple(jnp.asarray(d) for d in data),
+        tuple(jnp.asarray(c) for c in consts),
+    )
+    cells = T * X * Y
+    return tuple(sums[k] / cells for k in range(nterms))

@@ -31,7 +31,9 @@ __all__ = ["Problem"]
 
 class Problem:
 
-    def __init__(self, operator, domain, extra=None, tracers=None, jit=None, remat=False):
+    def __init__(
+        self, operator, domain, extra=None, tracers=None, jit=None, remat=False, mg_partial=False
+    ):
         """
         operator: callable(ctx) returning a list of residual fields or
             (name, field) tuples; each field is an equation to drive to zero.
@@ -42,11 +44,17 @@ class Problem:
         remat: rematerialize the operator in the backward pass
             (``jax.checkpoint``) -- trades FLOPs for memory on grids whose
             stencil intermediates would not fit HBM.
+        mg_partial: stop the multigrid Horner flatten one level early inside
+            the loss path and expose ``ctx.mg_partials[key]`` = (term0,
+            factor0, level-1 partial) for the MG-fused Pallas kernel
+            (ops/rowwise_mg.py).  Operators must handle an empty dict (fall
+            back to ``ctx.field``).
         """
         self.domain = domain
         self.operator = operator
         self.extra = extra
         self.remat = remat
+        self.mg_partial = mg_partial
         tracers = dict(tracers) if tracers is not None else dict()
         tracers.setdefault("epoch", 0)
         self.tracers = tracers
@@ -86,7 +94,7 @@ class Problem:
         self._names = names
         return names, values
 
-    def _flatten_multigrid_batched(self, state):
+    def _flatten_multigrid_batched(self, state, partial_out=None):
         """Flattens groups of identically-shaped MultigridFields to regular
         Fields with ONE batched interpolation ladder per group.
 
@@ -95,7 +103,14 @@ class Problem:
         u, vx, vy in velocity_from_tracer) turns many small transfer ops on
         coarse levels into few larger ones -- significant on TPU where the
         coarse-level arrays are far below the tile size.  Differentiable;
-        semantics identical."""
+        semantics identical.
+
+        partial_out: optional dict; when given (and the group is at least
+        two levels deep) the Horner ladder STOPS one step early and
+        partial_out[key] = (term0_array, factor0, P) where P is the level-1
+        partial sum -- the contract of the MG-fused Pallas kernel
+        (ops/rowwise_mg.py).  The state still receives fully flattened
+        Fields so non-fused consumers (ctx.field) keep working."""
         from collections import defaultdict
 
         from .transfer import interp_to_finer
@@ -126,6 +141,15 @@ class Problem:
             method = f0.method or domain.mg_interp
             loc_active = "." + "".join(l if ax else "." for l, ax in zip(f0.loc, axes))
             stacked = [mod.stack([f.terms[lvl].array for f in fs]) for lvl in range(nlvl)]
+            if partial_out is not None and nlvl >= 2:
+                # Stop the Horner ladder at level 1; the fused kernel does
+                # the finest (full-size) step in VMEM.
+                acc = stacked[-1] * factors[-1]
+                for arr, fac in zip(reversed(stacked[1:-1]), reversed(factors[1:-1])):
+                    acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
+                for i, k in enumerate(keys):
+                    partial_out[k] = (stacked[0][i], factors[0], acc[i])
+                continue
             acc = stacked[-1] * factors[-1]
             for arr, fac in zip(reversed(stacked[:-1]), reversed(factors[:-1])):
                 acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
@@ -141,8 +165,10 @@ class Problem:
         terms[i] = mean(residual_i^2) (or the raw mean for Context.Raw);
         norms[i] = sqrt(terms[i]) (or the raw term itself)."""
         mod = self.domain.mod
-        state = self._flatten_multigrid_batched(self.state_from_arrays(arrays))
+        partials = {} if self.mg_partial else None
+        state = self._flatten_multigrid_batched(self.state_from_arrays(arrays), partial_out=partials)
         ctx = Context(self.domain, state, extra=self.extra, tracers=tracers)
+        ctx.mg_partials = partials or {}
         _, values = self._run_operator(ctx)
         terms = [mod.mean(v.value) if isinstance(v, Context.Raw) else mod.mean(mod.square(v)) for v in values]
         loss = sum(terms)

@@ -409,3 +409,36 @@ def test_stream_2d_planes_hist1():
     g0 = jax.grad(lambda a: loss(a, False))(u)
     g1 = jax.grad(lambda a: loss(a, True))(u)
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5, atol=1e-6)
+
+
+def test_mg_fused_kernel_matches_pallas_path():
+    """kernel='pallas_mg' (finest multigrid Horner step fused into the
+    row-wise kernel, ops/rowwise_mg.py) must match the plain fused kernel's
+    loss and gradients to float32 roundoff."""
+    from odil_tpu.models import veltracer as vt
+
+    outs = {}
+    for kernel in ("pallas", "pallas_mg"):
+        problem, state, extra = vt.build(nt=8, nx=16, ny=16, kernel=kernel, multigrid=True)
+        loss_fn, arrays = problem.make_loss_fn(state)
+        rng = np.random.RandomState(1)
+        arrays = [
+            jnp.asarray(rng.randn(*np.shape(a)).astype(np.float32) * 0.1) for a in arrays
+        ]
+        (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(arrays, {"epoch": 0})
+        outs[kernel] = (float(loss), [np.asarray(g) for g in grads])
+    l0, g0 = outs["pallas"]
+    l1, g1 = outs["pallas_mg"]
+    assert abs(l0 - l1) <= 1e-5 * abs(l0), (l0, l1)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5 * np.max(np.abs(a)))
+
+
+def test_mg_fused_kernel_fallback_without_partials():
+    """With multigrid=False there are no partials; the mg operator must fall
+    back to the plain fused path and still evaluate."""
+    from odil_tpu.models import veltracer as vt
+
+    problem, state, extra = vt.build(nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=False)
+    loss, grads, terms, names, norms = problem.eval_loss_grad(state)
+    assert np.isfinite(float(loss))
