@@ -55,30 +55,13 @@ def adam_epoch_runner(problem, state, lr=0.01):
 
 
 def build_veltracer(nt, nx, ny, kernel="pallas", multigrid=True):
-    import veltracer
+    from odil_tpu.models import veltracer as vtm
 
-    import odil_tpu as odil
-
-    args = veltracer.parse_args(
-        ["--Nx", str(nx), "--Nt", str(nt), "--Ny", str(ny), "--kernel", kernel]
+    problem, state, extra = vtm.build(
+        nt=nt, nx=nx, ny=ny, kernel=kernel, multigrid=multigrid,
+        mg_interp="conv", dtype=np.float32,
     )
-    args.Nt, args.Ny = nt, ny
-    domain = odil.Domain(
-        cshape=(nt, nx, ny), dimnames=("t", "x", "y"), dtype=np.float32,
-        multigrid=multigrid, mg_interp="conv",
-    )
-    x, y = map(np.asarray, domain.points("x", "y", loc=".cc"))
-    state = odil.State()
-    for key in ("u", "vx", "vy"):
-        state.fields[key] = odil.Field(None, loc="ncc")
-    state = domain.init_state(state)
-    extra = argparse.Namespace(
-        u_init=domain.cast(veltracer.tracer_blob(x, y, 0)),
-        u_final=domain.cast(veltracer.tracer_blob(x, y, 1)),
-        args=args,
-    )
-    op = veltracer.operator_advection_fused if kernel == "pallas" else veltracer.operator_advection
-    return odil.Problem(op, domain, extra), state
+    return problem, state
 
 
 def build_poisson(n, ndim=2):
@@ -172,6 +155,7 @@ CONFIGS = {
     "veltracer_64_pallas": lambda: (build_veltracer(64, 64, 64, "pallas"), 64 * 64 * 64),
     "veltracer_256_xla": lambda: (build_veltracer(64, 256, 256, "xla"), 64 * 256 * 256),
     "veltracer_256_pallas": lambda: (build_veltracer(64, 256, 256, "pallas"), 64 * 256 * 256),
+    "veltracer_256_pallas_mg": lambda: (build_veltracer(64, 256, 256, "pallas_mg"), 64 * 256 * 256),
     "veltracer_512_pallas": lambda: (build_veltracer(64, 512, 512, "pallas"), 64 * 512 * 512),
     "poisson_256": lambda: (build_poisson(256), 256 * 256),
     "poisson_1024": lambda: (build_poisson(1024), 1024 * 1024),
