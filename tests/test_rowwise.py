@@ -442,3 +442,13 @@ def test_mg_fused_kernel_fallback_without_partials():
     problem, state, extra = vt.build(nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=False)
     loss, grads, terms, names, norms = problem.eval_loss_grad(state)
     assert np.isfinite(float(loss))
+
+
+def test_mg_fused_problem_eval_operator_falls_back():
+    """eval_operator on an mg_partial Problem flattens fully (no partials)
+    and must evaluate through the fallback kernel path."""
+    from odil_tpu.models import veltracer as vt
+
+    problem, state, extra = vt.build(nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True)
+    values, names = problem.eval_operator(state)
+    assert len(values) >= 2 and all(np.isfinite(float(np.asarray(v))) for v in values)
