@@ -21,6 +21,15 @@ dense per-axis prolongation matrices the XLA path multiplies with
 (`transfer._interp_matrix`), so the reconstruction is bit-for-bit the same
 operator, reassociated.  The 2D upsample runs on the MXU.
 
+Each program reconstructs ONE fresh fine row and carries it in a VMEM ring
+scratch across the sequential TPU grid, so the neighbor rows a stencil
+needs are read from the ring instead of being re-upsampled per offset
+(forward: 1 upsample per field per program instead of hist+1; backward: 1
+instead of 2*hist+1).  The few rows no predecessor program computed -- the
+periodic wrap rows T-hist..T-1 and, in the backward sweep, the head rows
+0..hist-1 -- are reconstructed once by XLA outside the kernel with the
+identical operation order and enter as small resident inputs.
+
 Backward follows from linearity without differentiating the reconstruction:
 the existing recompute-based row cotangent dfine[i] (jax.vjp of the row
 function inside the kernel) splits into
@@ -44,8 +53,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-from .rowwise import _row_spec, _whole_spec
+from .rowwise import _resident_spec, _row_spec, _whole_spec
 
 __all__ = ["rowwise_loss_terms_mg"]
 
@@ -75,17 +85,39 @@ def _recon(r, t0_plane, c0, c1, Wx, Wy, f0):
     return f0 * t0_plane + _up2d(c, Wx, Wy)
 
 
+def _recon_rows_xla(t0, P, rows, Wx, Wy, f0):
+    """Reconstructs the listed fine rows outside the kernel, with the exact
+    operation order of ``_recon`` so ring-cached and resident copies of a
+    row are bit-identical."""
+    Tc = P.shape[0]
+    out = []
+    for r in rows:
+        w = 0.5 * jnp.asarray(r % 2, P.dtype)
+        c0 = P[r // 2]
+        c1 = P[min(r // 2 + 1, Tc - 1)]
+        c = (1.0 - w) * c0 + w * c1
+        out.append(f0 * t0[r] + _up2d(c, Wx, Wy))
+    return jnp.stack(out)
+
+
 def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts):
     T = t0s[0].shape[0]
     Tc = coarse[0].shape[0]
     nf, np_, nd = len(t0s), len(params), len(data)
+    # Periodic wrap rows T-hist..T-1, reconstructed once by XLA (tiny).
+    wraps = [
+        _recon_rows_xla(t0s[f], coarse[f], range(T - hist, T), Wx, Wy, f0s[f])
+        for f in range(nf)
+    ] if hist else []
 
     def kernel(*refs):
         pos = 0
-        t0_refs = refs[pos : pos + nf * (hist + 1)]
-        pos += nf * (hist + 1)
-        c_refs = refs[pos : pos + nf * (hist + 1) * 2]
-        pos += nf * (hist + 1) * 2
+        t0_refs = refs[pos : pos + nf]
+        pos += nf
+        c_refs = refs[pos : pos + nf * 2]
+        pos += nf * 2
+        wrap_refs = refs[pos : pos + len(wraps)]
+        pos += len(wraps)
         data_refs = refs[pos : pos + nd]
         pos += nd
         w_refs = refs[pos : pos + 2]
@@ -93,7 +125,9 @@ def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, param
         const_refs = refs[pos : pos + len(consts)]
         pos += len(consts)
         param_refs = refs[pos : pos + np_]
-        out_ref = refs[-1]
+        pos += np_
+        out_ref = refs[pos]
+        ring_refs = refs[pos + 1 :]
 
         i = pl.program_id(0)
         Wx_v, Wy_v = w_refs[0][...], w_refs[1][...]
@@ -101,14 +135,15 @@ def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, param
         params_v = tuple(r[...] for r in param_refs)
 
         rows = []
+        fresh_rows = []
         for f in range(nf):
-            frows = []
-            for o in range(hist + 1):
-                r = (i - o) % T
-                c0 = c_refs[(f * (hist + 1) + o) * 2][0]
-                c1 = c_refs[(f * (hist + 1) + o) * 2 + 1][0]
-                t0p = t0_refs[f * (hist + 1) + o][0]
-                frows.append(_recon(r, t0p, c0, c1, Wx_v, Wy_v, f0s[f]))
+            fresh = _recon(i, t0_refs[f][0], c_refs[2 * f][0], c_refs[2 * f + 1][0], Wx_v, Wy_v, f0s[f])
+            fresh_rows.append(fresh)
+            frows = [fresh]
+            for o in range(1, hist + 1):
+                ring_row = ring_refs[f][(i - o) % hist]
+                wrap_row = wrap_refs[f][jnp.clip(hist + i - o, 0, hist - 1)]
+                frows.append(jnp.where(i - o >= 0, ring_row, wrap_row))
             rows.append(tuple(frows))
         rows = tuple(rows)
         data_rows = tuple(r[0] for r in data_refs)
@@ -121,22 +156,24 @@ def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, param
 
         out_ref[0, :] += sums
 
+        # Carry the fresh row for the next `hist` programs (after all reads).
+        for f in range(nf):
+            if hist:
+                ring_refs[f][i % hist] = fresh_rows[f]
+
     in_specs = (
-        [_row_spec(t.shape, T, -o) for t in t0s for o in range(hist + 1)]
-        + [
-            _coarse_spec(c.shape, T, Tc, -o, k)
-            for c in coarse
-            for o in range(hist + 1)
-            for k in (0, 1)
-        ]
+        [_row_spec(t.shape, T, 0) for t in t0s]
+        + [_coarse_spec(c.shape, T, Tc, 0, k) for c in coarse for k in (0, 1)]
+        + [_resident_spec(w.shape) for w in wraps]
         + [_row_spec(d.shape, T, 0) for d in data]
         + [_whole_spec(Wx.shape), _whole_spec(Wy.shape)]
         + [_whole_spec(c.shape) for c in consts]
         + [_whole_spec(p.shape) for p in params]
     )
     inputs = (
-        [t for t in t0s for _ in range(hist + 1)]
-        + [c for c in coarse for _ in range(2 * (hist + 1))]
+        list(t0s)
+        + [c for c in coarse for _ in range(2)]
+        + wraps
         + list(data)
         + [Wx, Wy]
         + list(consts)
@@ -148,6 +185,9 @@ def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, param
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, nterms), lambda i: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((1, nterms), t0s[0].dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hist,) + tuple(t.shape[1:]), t.dtype) for t in (t0s if hist else ())
+        ],
         interpret=interpret,
     )(*inputs)
     return out[0]
@@ -156,19 +196,37 @@ def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, param
 def _backward_mg(
     row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts, g
 ):
-    """Gradients w.r.t. (t0s, coarse, params) of sum_k g[k] * S[k]."""
+    """Gradients w.r.t. (t0s, coarse, params) of sum_k g[k] * S[k].
+
+    Program i needs the fine rows (i+d) % T for d in [-hist, hist]; it
+    reconstructs row (i+hist) % T fresh and reads the rest from a
+    2*hist-deep VMEM ring (row j lives in slot j % (2*hist), written by
+    program j-hist).  Rows with no producer program -- j < 0 (periodic
+    wrap) and 0 <= j < hist (head) -- come from XLA-reconstructed
+    residents."""
     T = t0s[0].shape[0]
     Tc = coarse[0].shape[0]
     nf, np_, nd = len(t0s), len(params), len(data)
-    span = 2 * hist + 1
+    depth = 2 * hist
     gmat = jnp.reshape(g, (1, nterms))
+    wraps = [
+        _recon_rows_xla(t0s[f], coarse[f], range(T - hist, T), Wx, Wy, f0s[f])
+        for f in range(nf)
+    ] if hist else []
+    heads = [
+        _recon_rows_xla(t0s[f], coarse[f], range(hist), Wx, Wy, f0s[f]) for f in range(nf)
+    ] if hist else []
 
     def kernel(*refs):
         pos = 0
-        t0_refs = refs[pos : pos + nf * span]
-        pos += nf * span
-        c_refs = refs[pos : pos + nf * span * 2]
-        pos += nf * span * 2
+        t0_refs = refs[pos : pos + nf]
+        pos += nf
+        c_refs = refs[pos : pos + nf * 2]
+        pos += nf * 2
+        wrap_refs = refs[pos : pos + len(wraps)]
+        pos += len(wraps)
+        head_refs = refs[pos : pos + len(heads)]
+        pos += len(heads)
         data_refs = refs[pos : pos + nd * (hist + 1)]
         pos += nd * (hist + 1)
         w_refs = refs[pos : pos + 2]
@@ -178,10 +236,12 @@ def _backward_mg(
         param_refs = refs[pos : pos + np_]
         pos += np_
         g_ref = refs[pos]
-        out_t0_refs = refs[pos + 1 : pos + 1 + nf]
-        out_c0_refs = refs[pos + 1 + nf : pos + 1 + 2 * nf]
-        out_c1_refs = refs[pos + 1 + 2 * nf : pos + 1 + 3 * nf]
-        out_param_refs = refs[pos + 1 + 3 * nf :]
+        pos += 1
+        out_t0_refs = refs[pos : pos + nf]
+        out_c0_refs = refs[pos + nf : pos + 2 * nf]
+        out_c1_refs = refs[pos + 2 * nf : pos + 3 * nf]
+        out_param_refs = refs[pos + 3 * nf : pos + 3 * nf + np_]
+        ring_refs = refs[pos + 3 * nf + np_ :]
 
         i = pl.program_id(0)
         Wx_v, Wy_v = w_refs[0][...], w_refs[1][...]
@@ -189,16 +249,32 @@ def _backward_mg(
         params_v = tuple(r[...] for r in param_refs)
         gvec = g_ref[0]
 
-        recon_memo = {}
+        fresh_rows = []
+        planes = []  # planes[f][d + hist] = fine row (i + d) % T
+        for f in range(nf):
+            fresh = _recon(
+                (i + hist) % T,
+                t0_refs[f][0],
+                c_refs[2 * f][0],
+                c_refs[2 * f + 1][0],
+                Wx_v,
+                Wy_v,
+                f0s[f],
+            )
+            fresh_rows.append(fresh)
+            frows = []
+            for d in range(-hist, hist):
+                j = i + d  # unwrapped; (i+d) % T is in slot (i+d) % depth
+                ring_row = ring_refs[f][j % depth]
+                head_row = head_refs[f][jnp.clip(j, 0, hist - 1)]
+                wrap_row = wrap_refs[f][jnp.clip(hist + j, 0, hist - 1)]
+                resident = jnp.where(j >= 0, head_row, wrap_row)
+                frows.append(jnp.where(j >= hist, ring_row, resident))
+            frows.append(fresh)
+            planes.append(frows)
 
         def fine_plane(f, d):
-            if (f, d) not in recon_memo:
-                r = (i + d) % T
-                t0p = t0_refs[f * span + (d + hist)][0]
-                c0 = c_refs[(f * span + (d + hist)) * 2][0]
-                c1 = c_refs[(f * span + (d + hist)) * 2 + 1][0]
-                recon_memo[(f, d)] = _recon(r, t0p, c0, c1, Wx_v, Wy_v, f0s[f])
-            return recon_memo[(f, d)]
+            return planes[f][d + hist]
 
         accs = [jnp.zeros(t0s[f].shape[1:], t0s[f].dtype) for f in range(nf)]
         param_accs = [jnp.zeros(p.shape, p.dtype) for p in params]
@@ -253,6 +329,11 @@ def _backward_mg(
 
             out_param_refs[p][...] += param_accs[p]
 
+        # Carry the fresh row (i+hist) for the next 2*hist programs.
+        for f in range(nf):
+            if depth:
+                ring_refs[f][(i + hist) % depth] = fresh_rows[f]
+
     def _c0_spec(shape):
         zeros = (0,) * (len(shape) - 1)
         return pl.BlockSpec((1,) + tuple(shape[1:]), lambda i: (i // 2,) + zeros)
@@ -264,13 +345,10 @@ def _backward_mg(
         )
 
     in_specs = (
-        [_row_spec(t.shape, T, d) for t in t0s for d in range(-hist, hist + 1)]
-        + [
-            _coarse_spec(c.shape, T, Tc, d, k)
-            for c in coarse
-            for d in range(-hist, hist + 1)
-            for k in (0, 1)
-        ]
+        [_row_spec(t.shape, T, hist) for t in t0s]
+        + [_coarse_spec(c.shape, T, Tc, hist, k) for c in coarse for k in (0, 1)]
+        + [_resident_spec(w.shape) for w in wraps]
+        + [_resident_spec(h.shape) for h in heads]
         + [_row_spec(d.shape, T, o) for d in data for o in range(hist + 1)]
         + [_whole_spec(Wx.shape), _whole_spec(Wy.shape)]
         + [_whole_spec(c.shape) for c in consts]
@@ -278,8 +356,10 @@ def _backward_mg(
         + [_whole_spec((1, nterms))]
     )
     inputs = (
-        [t for t in t0s for _ in range(span)]
-        + [c for c in coarse for _ in range(2 * span)]
+        list(t0s)
+        + [c for c in coarse for _ in range(2)]
+        + wraps
+        + heads
         + [d for d in data for _ in range(hist + 1)]
         + [Wx, Wy]
         + list(consts)
@@ -303,6 +383,9 @@ def _backward_mg(
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((depth,) + tuple(t.shape[1:]), t.dtype) for t in (t0s if depth else ())
+        ],
         interpret=interpret,
     )(*inputs)
     dt0 = tuple(outs[:nf])
@@ -375,6 +458,7 @@ def rowwise_loss_terms_mg(
     X, Y = t0s[0].shape[1:]
     CX, CY = coarse[0].shape[1:]
     assert (CX, CY) == (X // 2, Y // 2), (t0s[0].shape, coarse[0].shape)
+    assert T > 2 * hist, f"time axis T={T} too short for hist={hist} ring"
     if interpret is None:
         interpret = not _on_tpu()
 

@@ -143,6 +143,7 @@ def add_arguments(parser):
     # TPU-native additions.
     add("--max_chunk", type=int, default=512, help="Max epochs per on-device scan chunk")
     add("--mesh", type=str, default=None, help="Device mesh spec, e.g. 'x:2,y:4' (dim:size pairs)")
+    add("--halo", type=int, default=0, help="Evaluate the loss inside shard_map with explicit ppermute halo exchange (requires --mesh)")
     add("--profile_dir", type=str, default=None, help="Capture a jax.profiler trace into this dir")
     # Reference flags kept for CLI compatibility (consumed by examples).
     add("--jac_nsmp0", type=int, default=50, help=argparse.SUPPRESS)
@@ -225,7 +226,7 @@ def optimize_grad(args, optname, problem, state, callback=None, **kwargs):
         printlog("Resuming optimizer slot state from checkpoint")
 
     # Initial evaluation, reported through the callback at epoch_start.
-    loss_fn, arrays = problem.make_loss_fn(state)
+    loss_fn, arrays = problem.make_loss_fn(state, halo=bool(getattr(args, "halo", 0)))
     loss, grads, terms, names, norms = problem.eval_loss_grad(state)
     pinfo = _pinfo_from(loss, terms, names, norms)
     if callback:
@@ -384,7 +385,10 @@ def setup_outdir(args, relpath_args=None):
             setattr(args, k, os.path.relpath(getattr(args, k), start=outdir))
 
     def scaled(v):
-        return None if v is None else max(1, round(v * args.every_factor))
+        # 0 means "disabled" (as in the cadence gates); only scale active ones.
+        if not v:
+            return v
+        return max(1, round(v * args.every_factor))
 
     args.plot_every = scaled(args.plot_every)
     args.history_every = scaled(args.history_every)

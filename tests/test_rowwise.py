@@ -434,6 +434,56 @@ def test_mg_fused_kernel_matches_pallas_path():
         np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5 * np.max(np.abs(a)))
 
 
+def test_mg_kernel_hist2_matches_xla_reference():
+    """rowwise_loss_terms_mg with hist=2 (second-order-in-time stencil):
+    the VMEM ring of reconstructed rows is 4 deep here and the head/wrap
+    residents cover two rows each; loss and grads must match an independent
+    XLA re-implementation of the docstring reconstruction formula."""
+    from odil_tpu.ops.rowwise_mg import rowwise_loss_terms_mg
+    from odil_tpu.transfer import _interp_matrix
+
+    Tc, CX, CY = 5, 8, 8
+    T, X, Y = 2 * (Tc - 1) + 1, 2 * CX, 2 * CY
+    f0 = 0.7
+    rng = np.random.default_rng(3)
+    t0 = jnp.asarray(rng.normal(size=(T, X, Y)), jnp.float32)
+    P = jnp.asarray(rng.normal(size=(Tc, CX, CY)), jnp.float32)
+    Wx = jnp.asarray(_interp_matrix(CX, "c", np.float32))
+    Wy = jnp.asarray(_interp_matrix(CY, "c", np.float32))
+
+    def row_fn(it, T_, rows, data_rows, params, consts):
+        ((cur, prev, prev2),) = rows
+        r = cur - 2 * prev + prev2 + 0.1 * (jnp.roll(cur, -1, 0) - jnp.roll(cur, 1, 1))
+        r = jnp.where(it <= 1, cur, r)
+        return (r,)
+
+    def loss_kernel(t0, P):
+        (t,) = rowwise_loss_terms_mg(
+            row_fn, (t0,), (P,), (f0,), nterms=1, hist=2, interpret=True
+        )
+        return t
+
+    def loss_ref(t0, P):
+        w = 0.5 * (jnp.arange(T) % 2).astype(jnp.float32)
+        c = (1.0 - w)[:, None, None] * P[jnp.arange(T) // 2] + w[:, None, None] * P[
+            jnp.minimum(jnp.arange(T) // 2 + 1, Tc - 1)
+        ]
+        fine = f0 * t0 + jnp.einsum("xc,tcd,yd->txy", Wx, c, Wy)
+        res = []
+        for it in range(T):
+            rows = ((fine[it], fine[(it - 1) % T], fine[(it - 2) % T]),)
+            res.append(row_fn(it, T, rows, (), (), ())[0])
+        r = jnp.stack(res)
+        return jnp.mean(r * r)
+
+    l0, l1 = float(loss_kernel(t0, P)), float(loss_ref(t0, P))
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    g0 = jax.grad(lambda a, b: loss_kernel(a, b), argnums=(0, 1))(t0, P)
+    g1 = jax.grad(lambda a, b: loss_ref(a, b), argnums=(0, 1))(t0, P)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
 def test_mg_fused_kernel_fallback_without_partials():
     """With multigrid=False there are no partials; the mg operator must fall
     back to the plain fused path and still evaluate."""
