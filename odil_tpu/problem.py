@@ -175,10 +175,18 @@ class Problem:
         norms = [t if isinstance(v, Context.Raw) else mod.sqrt(t) for t, v in zip(terms, values)]
         return loss, terms, norms
 
-    def make_loss_fn(self, state):
+    def make_loss_fn(self, state, halo=False):
         """Returns (loss_fn, arrays0): the pure loss function over the flat
         array list, and the initial arrays.  loss_fn(arrays, tracers) ->
-        (loss, (terms, norms)), suitable for value_and_grad inside scan."""
+        (loss, (terms, norms)), suitable for value_and_grad inside scan.
+
+        halo=True evaluates inside shard_map with explicit ppermute halo
+        exchange over the domain mesh (halo.py) instead of relying on the
+        GSPMD partitioner; requires Domain(mesh=..., partition=...)."""
+        if halo:
+            from .halo import make_halo_loss_fn
+
+            return make_halo_loss_fn(self, state)
         self._capture_structure(state)
         arrays0 = self.domain.arrays_from_state(state)
 

@@ -1,0 +1,160 @@
+"""Explicit shard_map + ppermute halo-exchange path (halo.py): loss, terms,
+and gradients must match the GSPMD path exactly on the 8-device CPU mesh,
+and the build-time validation must reject the unsupported layouts with
+clear errors."""
+
+import argparse
+
+import jax
+import numpy as np
+import pytest
+
+import odil_tpu as odil
+from odil_tpu import parallel
+
+from test_sharding import poisson_like_problem
+
+pytestmark = pytest.mark.skipif(jax.device_count() < 8, reason="needs 8 devices")
+
+
+def _compare_loss_and_grads(problem, state, halo_kw=None, rtol=1e-12, atol=1e-12):
+    loss_fn0, arrays0 = problem.make_loss_fn(state)
+    from odil_tpu.halo import make_halo_loss_fn
+
+    loss_fn1, arrays1 = make_halo_loss_fn(problem, state, **(halo_kw or {}))
+
+    def run(fn, arrays):
+        def scalar(a, t):
+            loss, aux = fn(a, t)
+            return loss, aux
+
+        (loss, (terms, norms)), grads = jax.jit(jax.value_and_grad(scalar, has_aux=True))(
+            arrays, problem.tracers
+        )
+        return np.asarray(loss), list(map(np.asarray, terms)), [np.asarray(g) for g in grads]
+
+    l0, t0, g0 = run(loss_fn0, arrays0)
+    l1, t1, g1 = run(loss_fn1, arrays1)
+    np.testing.assert_allclose(l0, l1, rtol=rtol)
+    for a, b in zip(t0, t1):
+        np.testing.assert_allclose(a, b, rtol=rtol)
+    assert len(g0) == len(g1)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol * max(1.0, np.max(np.abs(a))))
+    return l1, g1
+
+
+def test_halo_matches_gspmd_poisson():
+    mesh = parallel.mesh_from_spec("x:2,y:4")
+    problem, state = poisson_like_problem(mesh=mesh, partition={"x": "x", "y": "y"})
+    _compare_loss_and_grads(problem, state)
+
+
+def test_halo_loc_conversion_on_unsharded_dim():
+    """Staggered retargeting (c->n pad) is allowed along unpartitioned
+    dimensions; only the partitioned ones are restricted."""
+    mesh = parallel.mesh_from_spec("x:4")
+    N = 16
+    domain = odil.Domain(
+        cshape=(N, N), dimnames=["x", "y"], dtype=np.float64, mesh=mesh, partition={"x": "x"}
+    )
+
+    def operator(ctx):
+        u = ctx.field("u")
+        uxp = ctx.field("u", 1, 0)
+        un = ctx.field("u", 0, 1, loc="cn")  # c->n pad along unsharded y
+        return [u - ctx.extra.rhs, uxp * 0.3, un[:, :-1] * 0.1]
+
+    rhs = np.random.RandomState(1).rand(N, N)
+    extra = argparse.Namespace(rhs=domain.cast(rhs))
+    state = domain.init_state(
+        odil.State(fields={"u": np.random.RandomState(2).rand(N, N)})
+    )
+    problem = odil.Problem(operator, domain, extra)
+    _compare_loss_and_grads(problem, state)
+
+
+def test_halo_veltracer_multigrid():
+    """The flagship workload (three coupled multigrid fields, upwind
+    stencils, localized extra data u_init/u_final) through the halo path;
+    the multigrid ladder flattens under GSPMD outside shard_map."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("x:2,y:4")
+    problem, state, extra = vt.build(
+        nt=8,
+        nx=16,
+        ny=16,
+        kernel="xla",
+        multigrid=True,
+        dtype=np.float64,
+        mesh=mesh,
+        partition={"x": "x", "y": "y"},
+    )
+    _compare_loss_and_grads(problem, state, rtol=1e-9, atol=1e-10)
+
+
+def test_halo_rejects_node_field_on_partitioned_axis():
+    mesh = parallel.mesh_from_spec("x:2")
+    N = 16
+    domain = odil.Domain(
+        cshape=(N, N), dimnames=["x", "y"], dtype=np.float64, mesh=mesh, partition={"x": "x"}
+    )
+
+    def operator(ctx):
+        return [ctx.field("u")]
+
+    state = domain.init_state(odil.State(fields={"u": odil.Field(None, loc="nn")}))
+    problem = odil.Problem(operator, domain, None)
+    from odil_tpu.halo import make_halo_loss_fn
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_halo_loss_fn(problem, state)
+
+
+def test_halo_rejects_raw_terms():
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("x:2,y:4")
+    problem, state, extra = vt.build(
+        nt=8, nx=16, ny=16, kernel="pallas", multigrid=False,
+        mesh=mesh, partition={"x": "x", "y": "y"},
+    )
+    from odil_tpu.halo import make_halo_loss_fn
+
+    with pytest.raises(ValueError, match="Raw"):
+        make_halo_loss_fn(problem, state)
+
+
+def test_halo_rejects_loc_conversion_on_partitioned_axis():
+    mesh = parallel.mesh_from_spec("x:2")
+    N = 16
+    domain = odil.Domain(
+        cshape=(N, N), dimnames=["x", "y"], dtype=np.float64, mesh=mesh, partition={"x": "x"}
+    )
+
+    def operator(ctx):
+        return [ctx.field("u", 0, 0, loc="nc")[:-1]]
+
+    state = domain.init_state(odil.State(fields={"u": np.zeros((N, N))}))
+    problem = odil.Problem(operator, domain, None)
+    from odil_tpu.halo import make_halo_loss_fn
+
+    with pytest.raises(ValueError, match="retargeting"):
+        make_halo_loss_fn(problem, state)
+
+
+def test_halo_trains_with_scanned_adam():
+    """The halo loss_fn binds into the scanned Adam optimizer unchanged."""
+    mesh = parallel.mesh_from_spec("x:2,y:4")
+    problem, state = poisson_like_problem(mesh=mesh, partition={"x": "x", "y": "y"})
+    from odil_tpu.halo import make_halo_loss_fn
+    from odil_tpu.optim import make_optimizer
+
+    loss_fn, arrays = make_halo_loss_fn(problem, state)
+    opt = make_optimizer("adamn", dtype=problem.domain.dtype, mod=problem.domain.mod)
+    opt.bind(loss_fn, tracers=problem.tracers, task_epochs=[0, 50], names=None)
+    loss_start = float(loss_fn(arrays, problem.tracers)[0])
+    arrays, optinfo = opt.run(arrays, epochs=50, lr=0.05)
+    loss_end = float(loss_fn(arrays, problem.tracers)[0])
+    assert loss_end < 0.5 * loss_start, (loss_start, loss_end)
