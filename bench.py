@@ -96,7 +96,9 @@ def main():
 
     problem, state = build(kernel=args.kernel)
     loss_fn, arrays = problem.make_loss_fn(state)
-    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+    # Fused one-pass loss+grad (pallas_mg): the backward sweep accumulates
+    # the loss while producing cotangents, skipping the forward kernel.
+    grad_fn = problem.make_loss_grad_fn(state) or jax.value_and_grad(loss_fn, has_aux=True)
 
     lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-7
     slot_dtype = jnp.dtype(args.slot_dtype)

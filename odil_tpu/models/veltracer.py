@@ -161,6 +161,12 @@ def operator_fused_mg(ctx):
     keys = ("u", "vx", "vy")
     if not all(k in parts for k in keys):
         return operator_fused(ctx)
+    import numpy as _np
+
+    if _np.dtype(ctx.dtype).itemsize > 4 and ctx.mod.jax.default_backend() == "tpu":
+        # Mosaic cannot lower 64-bit kernels; fall back to the plain fused
+        # operator, whose wrapper routes fp64 to the XLA path.
+        return operator_fused(ctx)
     from ..ops.rowwise_mg import rowwise_loss_terms_mg
 
     extra = ctx.extra
@@ -178,6 +184,35 @@ def operator_fused_mg(ctx):
         hist=1,
     )
     return [Context.Raw(t) for t in terms]
+
+
+def _mg_loss_and_grads(ctx):
+    """Fused one-pass loss+gradients for the training step
+    (Problem.make_loss_grad_fn): the backward sweep accumulates the loss
+    terms while computing cotangents, so the forward kernel is skipped.
+    Returns (terms, {key: (d_t0, d_coarse)})."""
+    from ..ops.rowwise_mg import rowwise_mg_loss_and_grads
+
+    parts = ctx.mg_partials
+    keys = ("u", "vx", "vy")
+    extra = ctx.extra
+    args = extra.args
+    dt, dx, dy = map(float, ctx.step())
+    row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
+    nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
+    terms, (dt0, dcoarse, _) = rowwise_mg_loss_and_grads(
+        row_fn,
+        t0s=tuple(parts[k][0] for k in keys),
+        coarse=tuple(parts[k][2] for k in keys),
+        factors0=tuple(parts[k][1] for k in keys),
+        consts=(extra.u_init, extra.u_final),
+        nterms=nterms,
+        hist=1,
+    )
+    return list(terms), {k: (dt0[i], dcoarse[i]) for i, k in enumerate(keys)}
+
+
+operator_fused_mg.loss_and_grads = _mg_loss_and_grads
 
 
 def build(

@@ -88,8 +88,10 @@ def operator_fused(ctx):
         u0, ut0, ixv = consts
         uxm = mod.roll(tm, 1, 0)
         uxp = mod.roll(tm, -1, 0)
-        uxm = mod.where(ixv == 0, extrap_quadh(uxp, tm, left_row[0]), uxm)
-        uxp = mod.where(ixv == nx - 1, extrap_quadh(uxm, tm, right_row[0]), uxp)
+        # left_row/right_row stay (1,) arrays: a [0] scalar squeeze of an
+        # f64 value cannot be lowered by Mosaic; broadcasting is identical.
+        uxm = mod.where(ixv == 0, extrap_quadh(uxp, tm, left_row), uxm)
+        uxp = mod.where(ixv == nx - 1, extrap_quadh(uxm, tm, right_row), uxp)
         u_t_here = (cur - tm) / dt
         u_t_prev = mod.where(it == 1, ut0, (tm - tmm) / dt)
         fu = (u_t_here - u_t_prev) / dt - (uxm - 2 * tm + uxp) / dx**2

@@ -48,6 +48,19 @@ from jax.experimental import pallas as pl
 __all__ = ["rowwise_sumsq", "rowwise_loss_terms"]
 
 
+
+def _sumsq_vec(res):
+    """(nterms,) per-term sums of squares without 0-d intermediates
+    (Mosaic cannot squeeze 64-bit values to scalars)."""
+    return jnp.concatenate(
+        [jnp.sum(r * r, axis=tuple(range(r.ndim)), keepdims=True).reshape(1) for r in res]
+    )
+
+
+def _weights_of(gvec, res, nterms):
+    """w[k] = 2 * g[k] * res[k] via (1,)-shaped g slices (no f64 scalars)."""
+    return tuple(2.0 * gvec[k : k + 1] * res[k] for k in range(nterms))
+
 def _on_tpu():
     return jax.default_backend() == "tpu"
 
@@ -91,7 +104,7 @@ def _forward(row_fn, nterms, hist, interpret, fields, params, data, consts):
         consts_v = tuple(r[...] for r in const_refs)
         params_v = tuple(r[...] for r in param_refs)
         res = row_fn(i, T, rows, data_rows, params_v, consts_v)
-        sums = jnp.stack([jnp.sum(r * r) for r in res])
+        sums = _sumsq_vec(res)
 
         # The (1, nterms) output block stays resident across the sequential
         # TPU grid; initialize at the first program and accumulate.
@@ -170,7 +183,7 @@ def _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g):
 
             flat_rows = tuple(field_plane(f, o - m) for f in range(nf) for m in range(hist + 1))
             res, vjp_fn = jax.vjp(residuals_of, *(flat_rows + tuple(params_v)))
-            w = tuple(2.0 * gvec[k] * res[k] for k in range(nterms))
+            w = _weights_of(gvec, res, nterms)
             cots = vjp_fn(w)
             # Only the offset-o sample of residual row j is our row i.
             for f in range(nf):
@@ -236,7 +249,7 @@ def _block_spec(shape, B, offset_blocks, nb):
     return pl.BlockSpec((B,) + tuple(shape[1:]), index_map)
 
 
-def _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index):
+def _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts):
     T = fields[0].shape[0]
     nb = T // B
     nf, np_, nd = len(fields), len(params), len(data)
@@ -247,8 +260,6 @@ def _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, c
         pos += nf * 2
         data_refs = refs[pos : pos + nd]
         pos += nd
-        idx_ref = refs[pos]
-        pos += 1
         const_refs = refs[pos : pos + len(consts)]
         pos += len(consts)
         param_refs = refs[pos : pos + np_]
@@ -257,20 +268,30 @@ def _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, c
         p = pl.program_id(0)
         consts_v = tuple(r[...] for r in const_refs)
         params_v = tuple(r[...] for r in param_refs)
-        its = idx_ref[...][:, 0]  # (B,) global row indices.
 
-        rows = []
-        for f in range(nf):
-            allr = jnp.concatenate([field_refs[2 * f][...], field_refs[2 * f + 1][...]], axis=0)
-            rows.append(tuple(allr[B - o : 2 * B - o] for o in range(hist + 1)))
-        rows = tuple(rows)
-        data_rows = tuple(r[...] for r in data_refs)
+        # Sequential lax loop over the B rows (a vmap here would be unrolled
+        # by Mosaic, inflating compile time to minutes at B ~ 13).  Mosaic
+        # only supports dynamic indexing through refs, not values, so the
+        # first `hist` rows -- whose stencils reach into the previous block
+        # (field_refs[2f]) -- run as a statically-unrolled prologue, and the
+        # loop body indexes only the own block (field_refs[2f+1]).
+        def eval_row(s, read):
+            rows_s = tuple(
+                tuple(read(f, s - o) for o in range(hist + 1)) for f in range(nf)
+            )
+            data_s = tuple(data_refs[d][s] for d in range(nd))
+            res = row_fn(p * B + s, T, rows_s, data_s, params_v, consts_v)
+            return _sumsq_vec(res)
 
-        def one(it_i, rows_i, data_i):
-            return tuple(row_fn(it_i, T, rows_i, data_i, params_v, consts_v))
+        sums = jnp.zeros((nterms,), out_ref.dtype)
+        for s in range(min(hist, B)):
+            read = lambda f, j: field_refs[2 * f + 1][j] if j >= 0 else field_refs[2 * f][B + j]
+            sums = sums + eval_row(s, read)
 
-        res = jax.vmap(one, in_axes=(0, 0, 0))(its, rows, data_rows)
-        sums = jnp.stack([jnp.sum(r * r) for r in res])
+        def body(s, acc):
+            return acc + eval_row(s, lambda f, j: field_refs[2 * f + 1][j])
+
+        sums = jax.lax.fori_loop(hist, B, body, sums)
 
         @pl.when(p == 0)
         def _():
@@ -286,8 +307,6 @@ def _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, c
     for d in data:
         in_specs.append(_block_spec(d.shape, B, 0, nb))
         inputs.append(d)
-    in_specs.append(_block_spec(row_index.shape, B, 0, nb))
-    inputs.append(row_index)
     in_specs += [_whole_spec(c.shape) for c in consts]
     inputs += list(consts)
     in_specs += [_whole_spec(p.shape) for p in params]
@@ -304,7 +323,7 @@ def _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, c
     return out[0]
 
 
-def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index, g):
+def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, g):
     """Program p owns output rows pB..pB+B-1, accumulating cotangents from
     its own residual block plus the first `hist` residual rows of block p+1
     (the rows whose stencils reach back into this block)."""
@@ -319,8 +338,6 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
         pos += nf * 3
         data_refs = refs[pos : pos + nd * 2]
         pos += nd * 2
-        idx_refs = refs[pos : pos + 2]
-        pos += 2
         const_refs = refs[pos : pos + len(consts)]
         pos += len(consts)
         param_refs = refs[pos : pos + np_]
@@ -334,19 +351,6 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
         params_v = tuple(r[...] for r in param_refs)
         gvec = g_ref[0]
 
-        big = [
-            jnp.concatenate(
-                [field_refs[3 * f][...], field_refs[3 * f + 1][...], field_refs[3 * f + 2][...]],
-                axis=0,
-            )
-            for f in range(nf)
-        ]  # (3B, *plane); global row pB + d sits at index B + d.
-        dbig = [
-            jnp.concatenate([data_refs[2 * d][...], data_refs[2 * d + 1][...]], axis=0)
-            for d in range(nd)
-        ]  # (2B, *plane); residual row pB + s reads index s.
-        ibig = jnp.concatenate([idx_refs[0][...], idx_refs[1][...]], axis=0)[:, 0]  # (2B,)
-
         def residuals_of(it_i, flat_and_params, data_i):
             flat_rows = flat_and_params[: nf * (hist + 1)]
             pv = flat_and_params[nf * (hist + 1) :]
@@ -357,49 +361,62 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
 
         def row_cotangents(it_i, flat_in, data_i):
             res, vjp_fn = jax.vjp(lambda *a: residuals_of(it_i, a, data_i), *flat_in)
-            w = tuple(2.0 * gvec[k] * res[k] for k in range(nterms))
+            w = _weights_of(gvec, res, nterms)
             return vjp_fn(w)
 
-        # Own residual block: rows s = 0..B-1 read inputs big[B + s - m].
-        own_inputs = tuple(
-            big[f][B - m : 2 * B - m] for f in range(nf) for m in range(hist + 1)
-        ) + tuple(params_v)
-        own_data = tuple(db[:B] for db in dbig)
-        own_axes = (0,) * (nf * (hist + 1)) + (None,) * np_
-        cots = jax.vmap(row_cotangents, in_axes=(0, own_axes, 0))(ibig[:B], own_inputs, own_data)
-
-        accs = []
+        # Residual row s of this block reads input rows s - m: index s - m of
+        # the own block (field_refs[3f+1]), or B + s - m of the previous
+        # block (field_refs[3f]) when negative.  Sequential lax loop (a
+        # vmapped vjp here would be unrolled by Mosaic, inflating compile
+        # time to minutes at B ~ 13); Mosaic supports dynamic indexing only
+        # through refs, so cotangents accumulate straight into the resident
+        # output blocks and the first `hist` rows run as a static prologue.
         for f in range(nf):
-            plane_nd = len(fields[f].shape) - 1
-            acc = jnp.zeros((B,) + fields[f].shape[1:], fields[f].dtype)
-            for o in range(hist + 1):
-                c_o = cots[f * (hist + 1) + o]  # (B, *plane): row s's cot to row s-o.
-                if o == 0:
-                    acc = acc + c_o
-                else:
-                    # Row s contributes to row s-o: shift up by o (pad+add
-                    # instead of .at[].add -- Mosaic has no scatter-add).
-                    acc = acc + jnp.pad(c_o[o:], ((0, o),) + ((0, 0),) * plane_nd)
-            accs.append(acc)
+            out_field_refs[f][...] = jnp.zeros((B,) + fields[f].shape[1:], fields[f].dtype)
 
-        param_accs = [jnp.sum(cots[nf * (hist + 1) + q], axis=0) for q in range(np_)]
+        def accumulate_row(s, read, paccs, static_s=None):
+            """Processes residual row `s`; returns updated param carries.
+            Stores go to target rows s - o >= 0 (earlier rows belong to the
+            previous block and arrive via its spill pass)."""
+            flat_in = tuple(
+                read(f, s - m) for f in range(nf) for m in range(hist + 1)
+            ) + tuple(params_v)
+            data_i = tuple(data_refs[2 * d][s] for d in range(nd))
+            c = row_cotangents(p * B + s, flat_in, data_i)
+            for f in range(nf):
+                omax = hist + 1 if static_s is None else min(static_s, hist) + 1
+                for o in range(omax):
+                    t = s - o
+                    out_field_refs[f][t] = out_field_refs[f][t] + c[f * (hist + 1) + o]
+            return tuple(pa + c[nf * (hist + 1) + q] for q, pa in enumerate(paccs))
 
-        # Spill: the first `hist` residual rows of block p+1.
+        paccs = tuple(jnp.zeros(q.shape, q.dtype) for q in params)
+        for s in range(min(hist, B)):
+            read = lambda f, j: field_refs[3 * f + 1][j] if j >= 0 else field_refs[3 * f][B + j]
+            paccs = accumulate_row(s, read, paccs, static_s=s)
+
+        def body(s, paccs):
+            return accumulate_row(s, lambda f, j: field_refs[3 * f + 1][j], paccs)
+
+        param_accs = list(jax.lax.fori_loop(hist, B, body, paccs))
+
+        # Spill: the first `hist` residual rows of block p+1 (their stencils
+        # reach back into this block's output rows).
         for s2 in range(hist):
             flat_in = tuple(
-                big[f][2 * B + s2 - m] for f in range(nf) for m in range(hist + 1)
+                field_refs[3 * f + 2][s2 - m] if s2 - m >= 0 else field_refs[3 * f + 1][B + s2 - m]
+                for f in range(nf)
+                for m in range(hist + 1)
             ) + tuple(params_v)
-            data_i = tuple(db[B + s2] for db in dbig)
-            c = row_cotangents(ibig[B + s2], flat_in, data_i)
+            data_i = tuple(data_refs[2 * d + 1][s2] for d in range(nd))
+            # Global index of the spilled row (block p+1 wraps mod nb).
+            it2 = ((p + 1) % nb) * B + s2
+            c = row_cotangents(it2, flat_in, data_i)
             for f in range(nf):
-                plane_nd = len(fields[f].shape) - 1
                 for o in range(s2 + 1, hist + 1):
                     k = B + s2 - o  # Static target row in this block.
-                    pad = ((k, B - 1 - k),) + ((0, 0),) * plane_nd
-                    accs[f] = accs[f] + jnp.pad(c[f * (hist + 1) + o][None], pad)
+                    out_field_refs[f][k] = out_field_refs[f][k] + c[f * (hist + 1) + o]
 
-        for f in range(nf):
-            out_field_refs[f][...] = accs[f]
         for q in range(np_):
 
             @pl.when(p == 0)
@@ -420,8 +437,6 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
     for d in data:
         in_specs += [_block_spec(d.shape, B, 0, nb), _block_spec(d.shape, B, 1, nb)]
         inputs += [d, d]
-    in_specs += [_block_spec(row_index.shape, B, 0, nb), _block_spec(row_index.shape, B, 1, nb)]
-    inputs += [row_index, row_index]
     in_specs += [_whole_spec(c.shape) for c in consts]
     inputs += list(consts)
     in_specs += [_whole_spec(p.shape) for p in params]
@@ -447,26 +462,25 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def rowwise_sumsq_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index):
-    return _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index)
+def rowwise_sumsq_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts):
+    return _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts)
 
 
-def _fwd_rule_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index):
-    out = _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index)
-    return out, (fields, params, data, consts, row_index)
+def _fwd_rule_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts):
+    out = _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts)
+    return out, (fields, params, data, consts)
 
 
 def _bwd_rule_blocked(row_fn, nterms, hist, interpret, B, saved, g):
-    fields, params, data, consts, row_index = saved
+    fields, params, data, consts = saved
     dfields, dparams = _backward_blocked(
-        row_fn, nterms, hist, interpret, B, fields, params, data, consts, row_index, g
+        row_fn, nterms, hist, interpret, B, fields, params, data, consts, g
     )
     return (
         dfields,
         dparams,
         tuple(jnp.zeros_like(d) for d in data),
         tuple(jnp.zeros_like(c) for c in consts),
-        jnp.zeros_like(row_index),
     )
 
 
@@ -541,7 +555,7 @@ def _forward_stream(row_fn, nterms, hist, interpret, fields, params, data, const
         data_rows = tuple(r[0] for r in data_refs)
 
         res = row_fn(i, T, rows, data_rows, params_v, consts_v)
-        sums = jnp.stack([jnp.sum(r * r) for r in res])
+        sums = _sumsq_vec(res)
 
         @pl.when(i == 0)
         def _():
@@ -637,7 +651,7 @@ def _backward_stream(row_fn, nterms, hist, interpret, fields, params, data, cons
             return tuple(row_fn(i % T, T, rows, data_rows, pv, consts_v))
 
         res, vjp_fn = jax.vjp(residuals_of, *(tuple(flat_rows) + params_v))
-        w = tuple(2.0 * gvec[k] * res[k] for k in range(nterms))
+        w = _weights_of(gvec, res, nterms)
         cots = vjp_fn(w)
 
         # Zero the out-ring slots on first use.
@@ -832,7 +846,10 @@ def rowwise_loss_terms(
     plane_bytes = plane * fields[0].dtype.itemsize
     if interpret is None:
         vmem = _backward_vmem_estimate(fields, params, data, consts, nterms, hist)
-        if not _on_tpu() or vmem > 14 * 1024 * 1024:
+        # Mosaic cannot lower 64-bit reductions/scalars (remote-compile
+        # crashes on every staged-reduction formulation tried); fp64 runs
+        # the equivalent XLA path -- the kernel is the fp32/bf16 perf path.
+        if not _on_tpu() or vmem > 14 * 1024 * 1024 or fields[0].dtype.itemsize > 4:
             return _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist)
         interpret = False
     if stream and hist >= 1:
@@ -853,13 +870,13 @@ def rowwise_loss_terms(
             sums = rowwise_sumsq_stream(row_fn, nterms, hist, interpret, fields, params, data, consts)
         return [sums[k] / (T * plane) for k in range(nterms)]
     if block_rows is None:
-        # Blocked mode is opt-in: it improves small-plane throughput but the
-        # vmapped-vjp kernel inflates Mosaic compile time substantially
-        # (minutes per shape at B~13 on v5e).  Pass block_rows explicitly
-        # (e.g. _auto_block_rows(T, plane_bytes, hist)) to enable.
-        block_rows = 1
+        # Small planes: several rows per program amortize the per-program
+        # overhead (measured 2x on a 65x65 wave-type grid).  The in-kernel
+        # row iteration is a sequential lax loop, so Mosaic compile time
+        # stays at seconds regardless of B (the earlier vmap-unrolled form
+        # took minutes at B ~ 13).  Large planes keep B = 1.
+        block_rows = _auto_block_rows(T, plane_bytes, hist)
     if block_rows > 1 and T % block_rows == 0 and block_rows >= hist:
-        row_index = jnp.arange(T, dtype=jnp.int32).reshape(T, 1)
         if fields[0].ndim == 2:
             fields2 = tuple(f[:, None, :] for f in fields)
             data2 = tuple(d[:, None, :] if d.ndim == 2 else d for d in data)
@@ -872,11 +889,11 @@ def rowwise_loss_terms(
                 return tuple(r[None, :] for r in row_fn(it, T_, rows1, data1, pv, cons1))
 
             sums = rowwise_sumsq_blocked(
-                row_fn2, nterms, hist, interpret, block_rows, fields2, params, data2, consts2, row_index
+                row_fn2, nterms, hist, interpret, block_rows, fields2, params, data2, consts2
             )
         else:
             sums = rowwise_sumsq_blocked(
-                row_fn, nterms, hist, interpret, block_rows, fields, params, data, consts, row_index
+                row_fn, nterms, hist, interpret, block_rows, fields, params, data, consts
             )
         return [sums[k] / (T * plane) for k in range(nterms)]
 

@@ -55,9 +55,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .rowwise import _resident_spec, _row_spec, _whole_spec
+from .rowwise import _resident_spec, _row_spec, _sumsq_vec, _weights_of, _whole_spec
 
-__all__ = ["rowwise_loss_terms_mg"]
+__all__ = ["rowwise_loss_terms_mg", "rowwise_mg_loss_and_grads"]
 
 
 def _coarse_spec(shape, T, Tc, offset, k):
@@ -148,7 +148,7 @@ def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, param
         rows = tuple(rows)
         data_rows = tuple(r[0] for r in data_refs)
         res = row_fn(i, T, rows, data_rows, params_v, consts_v)
-        sums = jnp.stack([jnp.sum(r * r) for r in res])
+        sums = _sumsq_vec(res)
 
         @pl.when(i == 0)
         def _():
@@ -194,9 +194,15 @@ def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, param
 
 
 def _backward_mg(
-    row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts, g
+    row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts, g,
+    with_sums=False,
 ):
     """Gradients w.r.t. (t0s, coarse, params) of sum_k g[k] * S[k].
+
+    with_sums=True additionally accumulates the per-term sums of squares
+    S[k] (each residual row is already recomputed here at offset o == 0),
+    turning this pass into a fused loss+gradient evaluation that makes the
+    forward kernel redundant for training steps.
 
     Program i needs the fine rows (i+d) % T for d in [-hist, hist]; it
     reconstructs row (i+hist) % T fresh and reads the rest from a
@@ -241,7 +247,10 @@ def _backward_mg(
         out_c0_refs = refs[pos + nf : pos + 2 * nf]
         out_c1_refs = refs[pos + 2 * nf : pos + 3 * nf]
         out_param_refs = refs[pos + 3 * nf : pos + 3 * nf + np_]
-        ring_refs = refs[pos + 3 * nf + np_ :]
+        pos += 3 * nf + np_
+        out_sums_ref = refs[pos] if with_sums else None
+        pos += 1 if with_sums else 0
+        ring_refs = refs[pos:]
 
         i = pl.program_id(0)
         Wx_v, Wy_v = w_refs[0][...], w_refs[1][...]
@@ -293,13 +302,21 @@ def _backward_mg(
 
             flat_rows = tuple(fine_plane(f, o - m) for f in range(nf) for m in range(hist + 1))
             res, vjp_fn = jax.vjp(residuals_of, *(flat_rows + tuple(params_v)))
-            w = tuple(2.0 * gvec[k] * res[k] for k in range(nterms))
+            w = _weights_of(gvec, res, nterms)
             cots = vjp_fn(w)
             for f in range(nf):
                 accs[f] = accs[f] + cots[f * (hist + 1) + o]
             if o == 0:
                 for p in range(np_):
                     param_accs[p] = param_accs[p] + cots[nf * (hist + 1) + p]
+                if with_sums:
+                    # Residual row i is recomputed here anyway; accumulating
+                    # its sums of squares gives the loss for free.
+                    @pl.when(i == 0)
+                    def _():
+                        out_sums_ref[0, :] = jnp.zeros((nterms,), out_sums_ref.dtype)
+
+                    out_sums_ref[0, :] += _sumsq_vec(res)
 
         # Linearity of the reconstruction: split dfine into t0 and coarse
         # cotangents without differentiating the reconstruction itself.
@@ -371,11 +388,13 @@ def _backward_mg(
         + [_c0_spec(c.shape) for c in coarse]
         + [_c1_spec(c.shape) for c in coarse]
         + [_whole_spec(p.shape) for p in params]
+        + ([_whole_spec((1, nterms))] if with_sums else [])
     )
     out_shapes = (
         [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in t0s]
         + [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in coarse] * 2
         + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
+        + ([jax.ShapeDtypeStruct((1, nterms), t0s[0].dtype)] if with_sums else [])
     )
     outs = pl.pallas_call(
         kernel,
@@ -391,9 +410,11 @@ def _backward_mg(
     dt0 = tuple(outs[:nf])
     dc0 = outs[nf : 2 * nf]
     dc1 = outs[2 * nf : 3 * nf]
-    dparams = tuple(outs[3 * nf :])
+    dparams = tuple(outs[3 * nf : 3 * nf + np_])
     zero_row = lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[1:]])  # noqa: E731
     dcoarse = tuple(a + zero_row(b) for a, b in zip(dc0, dc1))
+    if with_sums:
+        return dt0, dcoarse, dparams, outs[-1][0]
     return dt0, dcoarse, dparams
 
 
@@ -429,24 +450,8 @@ def _bwd(row_fn, nterms, hist, f0s, interpret, saved, g):
 _rowwise_sumsq_mg.defvjp(_fwd, _bwd)
 
 
-def rowwise_loss_terms_mg(
-    row_fn,
-    t0s,
-    coarse,
-    factors0,
-    params=(),
-    data=(),
-    consts=(),
-    nterms=1,
-    hist=1,
-    interpret=None,
-):
-    """Mean-squared loss terms with the finest MG Horner step fused in.
-
-    t0s: per-field level-0 term arrays (T, X, Y), T odd (node t-axis).
-    coarse: per-field level-1 Horner partials (Tc, X//2, Y//2).
-    factors0: per-field level-0 multigrid factor (static floats).
-    Other groups and row_fn contract as in ``rowwise_loss_terms``."""
+def _prepare_mg(t0s, coarse, factors0, hist, interpret):
+    """Shared validation + prolongation-matrix setup for the mg kernels."""
     from .rowwise import _on_tpu
 
     t0s = tuple(jnp.asarray(t) for t in t0s)
@@ -468,6 +473,76 @@ def rowwise_loss_terms_mg(
     Wx = jnp.asarray(_interp_matrix(CX, "c", dtype))
     Wy = jnp.asarray(_interp_matrix(CY, "c", dtype))
     f0s = tuple(float(f) for f in factors0)
+    return t0s, coarse, Wx, Wy, f0s, interpret, T * X * Y
+
+
+def rowwise_mg_loss_and_grads(
+    row_fn,
+    t0s,
+    coarse,
+    factors0,
+    params=(),
+    data=(),
+    consts=(),
+    nterms=1,
+    hist=1,
+    interpret=None,
+):
+    """One-pass fused loss AND gradients for the training step.
+
+    Returns (terms, (dt0, dcoarse, dparams)) where terms[k] =
+    mean(residual_k^2) and the gradients are of ``sum_k terms[k]`` -- the
+    fixed composition every ``Problem`` loss uses (problem.py
+    ``loss_terms``).  The backward sweep already recomputes every residual
+    row for its in-kernel vjp, so accumulating the sums of squares there
+    makes the separate forward kernel redundant: one kernel per epoch
+    instead of two.  Not differentiable (it IS the gradient); for a
+    differentiable loss use ``rowwise_loss_terms_mg``."""
+    t0s, coarse, Wx, Wy, f0s, interpret, cells = _prepare_mg(
+        t0s, coarse, factors0, hist, interpret
+    )
+    g = jnp.full((nterms,), 1.0 / cells, t0s[0].dtype)
+    dt0, dcoarse, dparams, sums = _backward_mg(
+        row_fn,
+        nterms,
+        hist,
+        f0s,
+        interpret,
+        t0s,
+        coarse,
+        Wx,
+        Wy,
+        tuple(jnp.asarray(p) for p in params),
+        tuple(jnp.asarray(d) for d in data),
+        tuple(jnp.asarray(c) for c in consts),
+        g,
+        with_sums=True,
+    )
+    terms = tuple(sums[k] / cells for k in range(nterms))
+    return terms, (dt0, dcoarse, dparams)
+
+
+def rowwise_loss_terms_mg(
+    row_fn,
+    t0s,
+    coarse,
+    factors0,
+    params=(),
+    data=(),
+    consts=(),
+    nterms=1,
+    hist=1,
+    interpret=None,
+):
+    """Mean-squared loss terms with the finest MG Horner step fused in.
+
+    t0s: per-field level-0 term arrays (T, X, Y), T odd (node t-axis).
+    coarse: per-field level-1 Horner partials (Tc, X//2, Y//2).
+    factors0: per-field level-0 multigrid factor (static floats).
+    Other groups and row_fn contract as in ``rowwise_loss_terms``."""
+    t0s, coarse, Wx, Wy, f0s, interpret, cells = _prepare_mg(
+        t0s, coarse, factors0, hist, interpret
+    )
 
     sums = _rowwise_sumsq_mg(
         row_fn,
@@ -483,5 +558,4 @@ def rowwise_loss_terms_mg(
         tuple(jnp.asarray(d) for d in data),
         tuple(jnp.asarray(c) for c in consts),
     )
-    cells = T * X * Y
     return tuple(sums[k] / cells for k in range(nterms))

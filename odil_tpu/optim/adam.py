@@ -60,7 +60,9 @@ class AdamOptimizer(Optimizer):
         b2 = jnp.asarray(beta_2, dtype)
         loss_fn = self.loss_fn
         tracer_template = {k: v for k, v in self.tracers.items() if k != "epoch"}
-        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        # Fused loss+grad (one Pallas pass, Problem.make_loss_grad_fn) when
+        # bound; otherwise autodiff of the loss.
+        grad_fn = self.loss_grad_fn or jax.value_and_grad(loss_fn, has_aux=True)
         # Bias-correction step count; continues across resumes when slots
         # carry a 'step' entry.
         step0 = int(init_slots.get("step", 0)) if init_slots else 0

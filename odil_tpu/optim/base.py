@@ -35,12 +35,19 @@ class Optimizer:
         self.slots = None  # Slot state (Adam moments, ...) for checkpoints.
         # Device-loop context, installed by util.optimize_grad via bind().
         self.loss_fn = None  # Pure (arrays, tracers) -> (loss, (terms, norms)).
+        self.loss_grad_fn = None  # Optional fused loss+grad (see bind()).
         self.tracers = None  # Tracer template; 'epoch' is overridden in-loop.
         self.task_epochs = None  # Sorted epochs at which the callback must run.
 
-    def bind(self, loss_fn, tracers=None, task_epochs=None, names=None, max_chunk=512):
-        """Installs the pure device loss function and the callback schedule."""
+    def bind(self, loss_fn, tracers=None, task_epochs=None, names=None, max_chunk=512, loss_grad_fn=None):
+        """Installs the pure device loss function and the callback schedule.
+
+        loss_grad_fn: optional fused (arrays, tracers) ->
+        ((loss, (terms, norms)), grads) -- same signature as
+        jax.value_and_grad(loss_fn, has_aux=True) but computed in one pass
+        (Problem.make_loss_grad_fn); gradient optimizers use it when set."""
         self.loss_fn = loss_fn
+        self.loss_grad_fn = loss_grad_fn
         self.tracers = dict(tracers) if tracers else dict()
         self.task_epochs = task_epochs
         self._task_set = set(task_epochs) if task_epochs is not None else None

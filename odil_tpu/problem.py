@@ -198,6 +198,59 @@ class Problem:
             loss_fn = jax.checkpoint(loss_fn)
         return loss_fn, arrays0
 
+    def make_loss_grad_fn(self, state):
+        """Optimizer-path product: a pure function
+        ``fn(arrays, tracers) -> ((loss, (terms, norms)), grads)`` -- the
+        exact signature of ``jax.value_and_grad(loss_fn, has_aux=True)``.
+
+        When the operator carries a ``loss_and_grads`` attribute (a fused
+        Pallas pass producing the loss terms and their gradients together,
+        e.g. models/veltracer._mg_loss_and_grads), the problem runs
+        mg_partial, and the dtype is 32-bit (Mosaic cannot lower 64-bit
+        kernels), the forward kernel is skipped entirely: the backward
+        sweep recomputes every residual row anyway, so it yields the loss
+        for free.  Valid because ``loss_terms`` always composes
+        loss = sum of mean-squared terms (fixed term weights).  Returns
+        None when no fused path applies -- callers fall back to
+        ``jax.value_and_grad(make_loss_fn(...))``."""
+        fused = getattr(self.operator, "loss_and_grads", None)
+        if (
+            fused is None
+            or not self.mg_partial
+            or np.dtype(self.domain.dtype).itemsize > 4
+        ):
+            return None
+        self._capture_structure(state)
+        arrays0 = self.domain.arrays_from_state(state)
+        probe = {}
+        self._flatten_multigrid_batched(self.state_from_arrays(arrays0), partial_out=probe)
+        if not probe:
+            return None  # multigrid off / nothing grouped: no partials.
+        factors0 = {k: v[1] for k, v in probe.items()}
+        mod = self.domain.mod
+
+        def loss_grad_fn(arrays, tracers):
+            def prologue(arrs):
+                partials = {}
+                self._flatten_multigrid_batched(
+                    self.state_from_arrays(arrs), partial_out=partials
+                )
+                return {k: (v[0], v[2]) for k, v in partials.items()}
+
+            parts, vjp_pro = jax.vjp(prologue, arrays)
+            state_v = self.state_from_arrays(arrays)
+            ctx = Context(self.domain, state_v, extra=self.extra, tracers=tracers)
+            ctx.mg_partials = {
+                k: (t0, factors0[k], P) for k, (t0, P) in parts.items()
+            }
+            terms, dparts = fused(ctx)
+            loss = sum(terms)
+            norms = [mod.sqrt(t) for t in terms]
+            (grads,) = vjp_pro({k: tuple(dparts[k]) for k in parts})
+            return (loss, (list(terms), norms)), grads
+
+        return loss_grad_fn
+
     def eval_loss_grad(self, state):
         """Evaluates loss, gradients, and residual norms on `state`.
 

@@ -238,12 +238,18 @@ def optimize_grad(args, optname, problem, state, callback=None, **kwargs):
         every_epoch = True
     epochs = args.epochs - args.epoch_start
     task_epochs = None if every_epoch else compute_task_epochs(args, args.epoch_start, epochs)
+    # Fused one-pass loss+grad (skips the forward kernel) when the operator
+    # provides it and no halo/shard_map wrapper intervenes.
+    loss_grad_fn = None
+    if not getattr(args, "halo", 0):
+        loss_grad_fn = problem.make_loss_grad_fn(state)
     opt.bind(
         loss_fn,
         tracers=problem.tracers,
         task_epochs=task_epochs,
         names=names,
         max_chunk=getattr(args, "max_chunk", 512) or 512,
+        loss_grad_fn=loss_grad_fn,
     )
 
     profile_dir = getattr(args, "profile_dir", None)

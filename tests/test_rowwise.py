@@ -484,6 +484,36 @@ def test_mg_kernel_hist2_matches_xla_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
 
 
+def test_fused_loss_grad_matches_value_and_grad():
+    """Problem.make_loss_grad_fn (one-pass loss+gradients: the backward
+    kernel accumulates the loss terms while computing cotangents) must
+    match jax.value_and_grad of the loss to roundoff, and must decline
+    (return None) when no fused path applies."""
+    from odil_tpu.models import veltracer as vt
+
+    problem, state, extra = vt.build(nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True)
+    loss_fn, arrays = problem.make_loss_fn(state)
+    rng = np.random.RandomState(5)
+    arrays = [jnp.asarray(rng.randn(*np.shape(a)).astype(np.float32) * 0.1) for a in arrays]
+    (l0, (t0s, n0s)), g0 = jax.value_and_grad(loss_fn, has_aux=True)(arrays, {"epoch": 0})
+    lg = problem.make_loss_grad_fn(state)
+    assert lg is not None
+    (l1, (t1s, n1s)), g1 = lg(arrays, {"epoch": 0})
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(t0s, t1s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7 * np.max(np.abs(np.asarray(a)))
+        )
+
+    # No fused path: plain pallas kernel / multigrid off -> None.
+    p2, s2, _ = vt.build(nt=8, nx=16, ny=16, kernel="pallas", multigrid=True)
+    assert p2.make_loss_grad_fn(s2) is None
+    p3, s3, _ = vt.build(nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=False)
+    assert p3.make_loss_grad_fn(s3) is None
+
+
 def test_mg_fused_kernel_fallback_without_partials():
     """With multigrid=False there are no partials; the mg operator must fall
     back to the plain fused path and still evaluate."""
