@@ -143,7 +143,10 @@ class Problem:
             stacked = [mod.stack([f.terms[lvl].array for f in fs]) for lvl in range(nlvl)]
             if partial_out is not None and nlvl >= 2:
                 # Stop the Horner ladder at level 1; the fused kernel does
-                # the finest (full-size) step in VMEM.
+                # the finest (full-size) step in VMEM.  (A level-batched
+                # composed-matrix contraction was measured SLOWER end to
+                # end -- 0.81 -> 0.88 ms/epoch on the flagship -- than this
+                # stepwise ladder of tiny ops; see BENCH_NOTES.md.)
                 acc = stacked[-1] * factors[-1]
                 for arr, fac in zip(reversed(stacked[1:-1]), reversed(factors[1:-1])):
                     acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
