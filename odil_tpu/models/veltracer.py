@@ -169,6 +169,13 @@ def operator_fused_mg(ctx):
         return operator_fused(ctx)
     from ..ops.rowwise_mg import rowwise_loss_terms_mg
 
+    if not _mg_supported(
+        tuple(parts[k][0].shape for k in keys), ctx.dtype
+    ):
+        # Backward working set would not fit VMEM (512^2+ planes); the
+        # plain fused operator's wrapper picks the XLA fallback there.
+        return operator_fused(ctx)
+
     extra = ctx.extra
     args = extra.args
     dt, dx, dy = map(float, ctx.step())
@@ -212,6 +219,16 @@ def _mg_loss_and_grads(ctx):
     return list(terms), {k: (dt0[i], dcoarse[i]) for i, k in enumerate(keys)}
 
 
+def _mg_supported(t0_shapes, dtype):
+    """VMEM-fit gate shared by the mg eval operator and the fused
+    loss+grad path (Problem.make_loss_grad_fn probes it via the
+    ``supported`` attribute)."""
+    from ..ops.rowwise_mg import MG_VMEM_LIMIT, mg_vmem_estimate
+
+    return mg_vmem_estimate(t0_shapes, dtype, hist=1, nconsts=2) <= MG_VMEM_LIMIT
+
+
+_mg_loss_and_grads.supported = _mg_supported
 operator_fused_mg.loss_and_grads = _mg_loss_and_grads
 
 

@@ -683,6 +683,22 @@ def _bwd(row_fn, nterms, hist, f0s, interpret, saved, g):
 _rowwise_sumsq_mg.defvjp(_fwd, _bwd)
 
 
+MG_VMEM_LIMIT = 14 * 1024 * 1024
+
+
+def mg_vmem_estimate(t0_shapes, dtype, hist=1, nconsts=0):
+    """Rough VMEM footprint of the scatter backward (the larger of the two
+    mg passes): double-buffered in/out row blocks, the fine-row ring, the
+    cotangent accumulation ring, the wrap-cotangent scratch, resident wrap
+    rows, and resident consts.  Callers fall back to the un-fused paths
+    when this exceeds ``MG_VMEM_LIMIT`` (e.g. 512^2 planes)."""
+    itemsize = np.dtype(dtype).itemsize
+    plane = int(t0_shapes[0][1]) * int(t0_shapes[0][2]) * itemsize
+    quarter = plane // 4
+    per_field = plane * (2 + 2 + hist + hist + (hist + 1) + hist) + quarter * 8
+    return len(t0_shapes) * per_field + nconsts * plane
+
+
 def _prepare_mg(t0s, coarse, factors0, hist, interpret):
     """Shared validation + prolongation-matrix setup for the mg kernels."""
     from .rowwise import _on_tpu

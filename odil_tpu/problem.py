@@ -229,6 +229,11 @@ class Problem:
         self._flatten_multigrid_batched(self.state_from_arrays(arrays0), partial_out=probe)
         if not probe:
             return None  # multigrid off / nothing grouped: no partials.
+        supported = getattr(fused, "supported", None)
+        if supported is not None and not supported(
+            tuple(v[0].shape for v in probe.values()), self.domain.dtype
+        ):
+            return None  # e.g. VMEM-fit gate for 512^2+ planes.
         factors0 = {k: v[1] for k, v in probe.items()}
         mod = self.domain.mod
 

@@ -514,6 +514,32 @@ def test_fused_loss_grad_matches_value_and_grad():
     assert p3.make_loss_grad_fn(s3) is None
 
 
+def test_mg_vmem_gate_declines_large_planes():
+    """Planes whose backward working set exceeds VMEM (512^2+) must be
+    declined: make_loss_grad_fn returns None (optimizers fall back to
+    value_and_grad) and the mg eval operator falls back to the plain fused
+    operator, which routes oversized planes to the XLA path -- instead of
+    crashing in the Mosaic compiler."""
+    from odil_tpu.models.veltracer import _mg_supported
+    from odil_tpu.ops.rowwise_mg import MG_VMEM_LIMIT, mg_vmem_estimate
+
+    small = ((9, 256, 256),) * 3
+    big = ((9, 512, 512),) * 3
+    assert mg_vmem_estimate(small, np.float32, hist=1, nconsts=2) <= MG_VMEM_LIMIT
+    assert mg_vmem_estimate(big, np.float32, hist=1, nconsts=2) > MG_VMEM_LIMIT
+    assert _mg_supported(small, np.float32)
+    assert not _mg_supported(big, np.float32)
+
+    # End to end on a (tiny-t, 512, 512) problem: loss_grad_fn declines,
+    # eval still works through the fallback chain.
+    from odil_tpu.models import veltracer as vt
+
+    problem, state, extra = vt.build(nt=4, nx=512, ny=512, kernel="pallas_mg", multigrid=True)
+    assert problem.make_loss_grad_fn(state) is None
+    loss, grads, terms, names, norms = problem.eval_loss_grad(state)
+    assert np.isfinite(float(loss))
+
+
 def test_mg_fused_kernel_fallback_without_partials():
     """With multigrid=False there are no partials; the mg operator must fall
     back to the plain fused path and still evaluate."""
