@@ -827,6 +827,7 @@ def rowwise_loss_terms(
     interpret=None,
     block_rows=None,
     stream=False,
+    halox=1,
 ):
     """Per-term mean-squared losses through the fused kernel.
 
@@ -850,6 +851,28 @@ def rowwise_loss_terms(
         # crashes on every staged-reduction formulation tried); fp64 runs
         # the equivalent XLA path -- the kernel is the fp32/bf16 perf path.
         if not _on_tpu() or vmem > 14 * 1024 * 1024 or fields[0].dtype.itemsize > 4:
+            if (
+                _on_tpu()
+                and fields[0].dtype.itemsize <= 4
+                and fields[0].ndim == 3
+                and all(d.ndim == 3 for d in data)
+                and all(c.ndim == 2 for c in consts)
+            ):
+                # Planes too large for whole-plane VMEM residency (512^2+):
+                # x-tiled kernel with halo streams (rowwise_tiled.py)
+                # instead of the far slower XLA fallback.
+                from .rowwise_tiled import pick_tile, rowwise_loss_terms_tiled
+
+                tile = pick_tile(
+                    fields[0].shape[1], fields[0].shape[2],
+                    fields[0].dtype.itemsize, len(fields), len(data),
+                    len(consts), hist,
+                )
+                if tile is not None and tile < fields[0].shape[1]:
+                    return rowwise_loss_terms_tiled(
+                        row_fn, fields, params=params, data=data, consts=consts,
+                        nterms=nterms, hist=hist, halox=halox, tile=tile,
+                    )
             return _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist)
         interpret = False
     if stream and hist >= 1:

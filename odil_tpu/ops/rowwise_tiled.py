@@ -1,0 +1,424 @@
+"""x-tiled row-wise residual kernel for planes too large for VMEM.
+
+The default row-wise kernels (``rowwise.py``) keep whole (X, Y) planes in
+VMEM, which caps them at ~512^2 fp32 planes; beyond that the wrapper used
+to fall back to the XLA path, measured ~4.6x below the fused kernel's
+per-cell rate (BENCH_NOTES.md).  This variant adds the x axis as a second
+(outer) grid dimension: program (p, i) evaluates residual rows i..i+hist
+restricted to x-tile p.
+
+Stencil x-shifts (periodic ``mod.roll`` semantics, reference
+``src/odil/core.py:956-969``) are handled by *widening* each tile with
+``halox`` halo x-rows per side, streamed as tiny (1, halox, Y) blocks via
+sub-block index maps -- the halo of tile p is the last/first ``halox``
+x-rows of tiles (p-1) % nxt / (p+1) % nxt, so the periodic wrap is exact
+by construction (and nxt == 1 degenerates to the full-plane roll).  The
+row function runs on the widened rows; residual values at the halo rows
+see a truncated neighborhood and are DISCARDED: the forward slices them
+off before the sum-of-squares reduction, the backward zeroes their
+upstream cotangent.
+
+Backward: per program, one vjp per residual row i+o (o = 0..hist), taking
+the cotangent slice of its own (tile p, row i) sample -- the same
+local-accumulation scheme as ``rowwise._backward``.  Cotangents w.r.t.
+the widened input's halo x-rows belong to the neighbor tiles; they are
+emitted as small (nxt, T, halox, Y) edge outputs and folded into the
+final gradient by XLA afterwards.
+
+Contract additions over ``rowwise.py``: fields are 3D (T, X, Y); X is
+divisible by the tile width; ``halox`` bounds the row function's x-shift
+reach; row functions must not branch on the global x index (none of the
+bundled models do -- x/y boundary handling rides on data/consts arrays,
+which are tiled alongside the fields).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+from .rowwise import _sumsq_vec, _weights_of
+
+
+def _whole_spec(shape):
+    ndim = len(shape)
+    return pl.BlockSpec(tuple(shape), lambda p, i: (0,) * ndim)
+
+__all__ = ["rowwise_loss_terms_tiled", "tiled_vmem_estimate", "pick_tile"]
+
+
+def _tile_spec(shape, T, toff, W, nxt, has_t=True):
+    """Own-tile block: (1, W, Y) at t-row (i + toff) % T, x-tile p."""
+    Y = shape[-1]
+    if has_t:
+        return pl.BlockSpec((1, W, Y), lambda p, i: ((i + toff) % T, p, 0))
+    return pl.BlockSpec((W, Y), lambda p, i: (p, 0))
+
+
+_HB = 8  # Halo block sublane size: Mosaic requires multiples of 8.
+
+
+def _halo_spec(shape, T, toff, W, nxt, side, has_t=True):
+    """Halo block: (1, _HB, Y) covering the last (side=-1) / first
+    (side=+1) _HB x-rows of the left / right neighbor tile (periodic);
+    the kernel slices the h rows it needs.  Alignment holds because
+    W % _HB == 0."""
+    X, Y = shape[-2], shape[-1]
+    if side < 0:
+        xblock = lambda p: ((p * W - _HB) % X) // _HB  # noqa: E731
+    else:
+        xblock = lambda p: (((p + 1) % nxt) * W) // _HB  # noqa: E731
+    if has_t:
+        return pl.BlockSpec((1, _HB, Y), lambda p, i: ((i + toff) % T, xblock(p), 0))
+    return pl.BlockSpec((_HB, Y), lambda p, i: (xblock(p), 0))
+
+
+def _widen(own, left, right, h):
+    """left/right are _HB-row halo blocks; keep the h rows nearest the
+    tile."""
+    return jnp.concatenate([left[_HB - h :], own, right[:h]], axis=0)
+
+
+def tiled_vmem_estimate(W, Y, itemsize, nf, nd, nc, hist):
+    """Per-program VMEM footprint of the (larger) backward pass: own-tile
+    input blocks (double-buffered) across the t-offset span, the own
+    output block, and tiled data/const blocks."""
+    span = 2 * hist + 1
+    wplane = W * Y * itemsize
+    return (nf * (2 * span + 2) + nd * 2 * (hist + 1) + nc) * wplane
+
+
+def pick_tile(X, Y, itemsize, nf, nd, nc, hist, budget=10 * 1024 * 1024):
+    """Largest power-of-two-divisor tile width (multiple of 8) whose
+    backward fits the budget; None if X cannot be tiled that way."""
+    W = X
+    while W % 2 == 0 and W > 8 and tiled_vmem_estimate(W, Y, itemsize, nf, nd, nc, hist) > budget:
+        W //= 2
+    if W % 8 or tiled_vmem_estimate(W, Y, itemsize, nf, nd, nc, hist) > budget:
+        return None
+    return W
+
+
+def _forward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts):
+    T, X, Y = fields[0].shape
+    nxt = X // W
+    h = halox
+    nf, np_, nd = len(fields), len(params), len(data)
+
+    def kernel(*refs):
+        pos = 0
+        f_refs = refs[pos : pos + nf * (hist + 1) * 3]
+        pos += nf * (hist + 1) * 3
+        d_refs = refs[pos : pos + nd * 3]
+        pos += nd * 3
+        c_refs = refs[pos : pos + len(consts) * 3]
+        pos += len(consts) * 3
+        p_refs = refs[pos : pos + np_]
+        out_ref = refs[-1]
+
+        p, i = pl.program_id(0), pl.program_id(1)
+        params_v = tuple(r[...] for r in p_refs)
+        consts_v = tuple(
+            _widen(c_refs[3 * c][...], c_refs[3 * c + 1][...], c_refs[3 * c + 2][...], h)
+            for c in range(len(consts))
+        )
+        rows = tuple(
+            tuple(
+                _widen(
+                    f_refs[(f * (hist + 1) + m) * 3][0],
+                    f_refs[(f * (hist + 1) + m) * 3 + 1][0],
+                    f_refs[(f * (hist + 1) + m) * 3 + 2][0],
+                    h,
+                )
+                for m in range(hist + 1)
+            )
+            for f in range(nf)
+        )
+        data_rows = tuple(
+            _widen(d_refs[3 * d][0], d_refs[3 * d + 1][0], d_refs[3 * d + 2][0], h)
+            for d in range(nd)
+        )
+        res = row_fn(i, T, rows, data_rows, params_v, consts_v)
+        sums = _sumsq_vec(tuple(r[h : h + W] for r in res))
+
+        @pl.when((p == 0) & (i == 0))
+        def _():
+            out_ref[0, :] = jnp.zeros((nterms,), out_ref.dtype)
+
+        out_ref[0, :] += sums
+
+    in_specs = []
+    inputs = []
+    for f in fields:
+        for m in range(hist + 1):
+            in_specs += [
+                _tile_spec(f.shape, T, -m, W, nxt),
+                _halo_spec(f.shape, T, -m, W, nxt, -1),
+                _halo_spec(f.shape, T, -m, W, nxt, +1),
+            ]
+            inputs += [f, f, f]
+    for d in data:
+        in_specs += [
+            _tile_spec(d.shape, T, 0, W, nxt),
+            _halo_spec(d.shape, T, 0, W, nxt, -1),
+            _halo_spec(d.shape, T, 0, W, nxt, +1),
+        ]
+        inputs += [d, d, d]
+    for c in consts:
+        in_specs += [
+            _tile_spec(c.shape, T, 0, W, nxt, has_t=False),
+            _halo_spec(c.shape, T, 0, W, nxt, -1, has_t=False),
+            _halo_spec(c.shape, T, 0, W, nxt, +1, has_t=False),
+        ]
+        inputs += [c, c, c]
+    in_specs += [_whole_spec(p.shape) for p in params]
+    inputs += list(params)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nxt, T),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, nterms), lambda p, i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, nterms), fields[0].dtype),
+        interpret=interpret,
+    )(*inputs)
+    return out[0]
+
+
+def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts, g):
+    T, X, Y = fields[0].shape
+    nxt = X // W
+    h = halox
+    nf, np_, nd = len(fields), len(params), len(data)
+    span = 2 * hist + 1
+    gmat = jnp.reshape(g, (1, nterms))
+    dtype = fields[0].dtype
+
+    def kernel(*refs):
+        pos = 0
+        f_refs = refs[pos : pos + nf * span * 3]
+        pos += nf * span * 3
+        d_refs = refs[pos : pos + nd * (hist + 1) * 3]
+        pos += nd * (hist + 1) * 3
+        c_refs = refs[pos : pos + len(consts) * 3]
+        pos += len(consts) * 3
+        p_refs = refs[pos : pos + np_]
+        pos += np_
+        g_ref = refs[pos]
+        pos += 1
+        out_f_refs = refs[pos : pos + nf]
+        pos += nf
+        out_el_refs = refs[pos : pos + nf]
+        pos += nf
+        out_er_refs = refs[pos : pos + nf]
+        pos += nf
+        out_p_refs = refs[pos:]
+
+        p, i = pl.program_id(0), pl.program_id(1)
+        params_v = tuple(r[...] for r in p_refs)
+        consts_v = tuple(
+            _widen(c_refs[3 * c][...], c_refs[3 * c + 1][...], c_refs[3 * c + 2][...], h)
+            for c in range(len(consts))
+        )
+        gvec = g_ref[0]
+        # Upstream cotangent is zero on the discarded halo residual rows.
+        xw = jax.lax.broadcasted_iota(jnp.int32, (W + 2 * h, Y), 0)
+        interior = (xw >= h) & (xw < W + h)
+
+        def widened(f, d):
+            base = (f * span + (d + hist)) * 3
+            return _widen(f_refs[base][0], f_refs[base + 1][0], f_refs[base + 2][0], h)
+
+        accs = [jnp.zeros((W, Y), dtype) for _ in range(nf)]
+        eaccs_l = [jnp.zeros((h, Y), dtype) for _ in range(nf)]
+        eaccs_r = [jnp.zeros((h, Y), dtype) for _ in range(nf)]
+        param_accs = [jnp.zeros(q.shape, q.dtype) for q in params]
+        for o in range(hist + 1):
+            j = (i + o) % T
+            data_rows = tuple(
+                _widen(
+                    d_refs[(d * (hist + 1) + o) * 3][0],
+                    d_refs[(d * (hist + 1) + o) * 3 + 1][0],
+                    d_refs[(d * (hist + 1) + o) * 3 + 2][0],
+                    h,
+                )
+                for d in range(nd)
+            )
+
+            def residuals_of(*args, _j=j, _data=data_rows):
+                flat_rows = args[: nf * (hist + 1)]
+                pv = args[nf * (hist + 1) :]
+                rows = tuple(
+                    tuple(flat_rows[f * (hist + 1) + m] for m in range(hist + 1))
+                    for f in range(nf)
+                )
+                return tuple(row_fn(_j, T, rows, _data, pv, consts_v))
+
+            flat_rows = tuple(widened(f, o - m) for f in range(nf) for m in range(hist + 1))
+            res, vjp_fn = jax.vjp(residuals_of, *(flat_rows + tuple(params_v)))
+            w = tuple(jnp.where(interior, wk, 0) for wk in _weights_of(gvec, res, nterms))
+            cots = vjp_fn(w)
+            # Own (tile p, row i) sample of residual row j is offset m = o.
+            for f in range(nf):
+                cw = cots[f * (hist + 1) + o]  # Widened (W + 2h, Y).
+                accs[f] = accs[f] + cw[h : h + W]
+                eaccs_l[f] = eaccs_l[f] + cw[:h]
+                eaccs_r[f] = eaccs_r[f] + cw[W + h :]
+            if o == 0:
+                for q in range(np_):
+                    param_accs[q] = param_accs[q] + cots[nf * (hist + 1) + q]
+        for f in range(nf):
+            out_f_refs[f][0] = accs[f]
+            out_el_refs[f][0, 0] = eaccs_l[f]
+            out_er_refs[f][0, 0] = eaccs_r[f]
+        for q in range(np_):
+
+            @pl.when((p == 0) & (i == 0))
+            def _(q=q):
+                out_p_refs[q][...] = jnp.zeros(params[q].shape, params[q].dtype)
+
+            out_p_refs[q][...] += param_accs[q]
+
+    in_specs = []
+    inputs = []
+    for f in fields:
+        for d in range(-hist, hist + 1):
+            in_specs += [
+                _tile_spec(f.shape, T, d, W, nxt),
+                _halo_spec(f.shape, T, d, W, nxt, -1),
+                _halo_spec(f.shape, T, d, W, nxt, +1),
+            ]
+            inputs += [f, f, f]
+    for d in data:
+        for o in range(hist + 1):
+            in_specs += [
+                _tile_spec(d.shape, T, o, W, nxt),
+                _halo_spec(d.shape, T, o, W, nxt, -1),
+                _halo_spec(d.shape, T, o, W, nxt, +1),
+            ]
+            inputs += [d, d, d]
+    for c in consts:
+        in_specs += [
+            _tile_spec(c.shape, T, 0, W, nxt, has_t=False),
+            _halo_spec(c.shape, T, 0, W, nxt, -1, has_t=False),
+            _halo_spec(c.shape, T, 0, W, nxt, +1, has_t=False),
+        ]
+        inputs += [c, c, c]
+    in_specs += [_whole_spec(q.shape) for q in params]
+    inputs += list(params)
+    in_specs += [_whole_spec((1, nterms))]
+    inputs += [gmat]
+
+    edge_shape = (nxt, T, h, Y)
+    edge_spec = pl.BlockSpec((1, 1, h, Y), lambda p, i: (p, i, 0, 0))
+    out_specs = (
+        [pl.BlockSpec((1, W, Y), lambda p, i: (i, p, 0)) for _ in fields]
+        + [edge_spec] * nf
+        + [edge_spec] * nf
+        + [_whole_spec(q.shape) for q in params]
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields]
+        + [jax.ShapeDtypeStruct(edge_shape, dtype)] * (2 * nf)
+        + [jax.ShapeDtypeStruct(q.shape, q.dtype) for q in params]
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nxt, T),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(*inputs)
+    dfields = list(outs[:nf])
+    els = outs[nf : 2 * nf]
+    ers = outs[2 * nf : 3 * nf]
+    dparams = tuple(outs[3 * nf :])
+
+    # Fold the edge cotangents into the neighbor tiles' x-rows (XLA; tiny).
+    for f in range(nf):
+        df = dfields[f]
+        for pt in range(nxt):
+            lo = (pt * W - h) % X  # Left halo of tile pt: x-rows [lo, lo+h).
+            df = df.at[:, lo : lo + h].add(els[f][pt])
+            ro = ((pt + 1) % nxt) * W  # Right halo: x-rows [ro, ro+h).
+            df = df.at[:, ro : ro + h].add(ers[f][pt])
+        dfields[f] = df
+    return tuple(dfields), dparams
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def rowwise_sumsq_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts):
+    return _forward_tiled(
+        row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts
+    )
+
+
+def _fwd_rule(row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts):
+    out = _forward_tiled(
+        row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts
+    )
+    return out, (fields, params, data, consts)
+
+
+def _bwd_rule(row_fn, nterms, hist, halox, W, interpret, saved, g):
+    fields, params, data, consts = saved
+    dfields, dparams = _backward_tiled(
+        row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts, g
+    )
+    return (
+        dfields,
+        dparams,
+        tuple(jnp.zeros_like(d) for d in data),
+        tuple(jnp.zeros_like(c) for c in consts),
+    )
+
+
+rowwise_sumsq_tiled.defvjp(_fwd_rule, _bwd_rule)
+
+
+def rowwise_loss_terms_tiled(
+    row_fn,
+    fields,
+    params=(),
+    data=(),
+    consts=(),
+    nterms=1,
+    hist=1,
+    halox=1,
+    tile=None,
+    interpret=None,
+):
+    """Mean-squared loss terms via the x-tiled kernel.
+
+    Same contract as ``rowwise.rowwise_loss_terms`` plus: fields must be
+    3D (T, X, Y); ``halox`` bounds the row function's x-stencil reach;
+    ``tile`` overrides the auto-chosen tile width (must divide X)."""
+    from .rowwise import _on_tpu
+
+    fields = tuple(jnp.asarray(f) for f in fields)
+    T, X, Y = fields[0].shape
+    if tile is None:
+        tile = pick_tile(
+            X, Y, fields[0].dtype.itemsize, len(fields), len(data), len(consts), hist
+        )
+    assert tile is not None and X % tile == 0, (X, tile)
+    assert tile >= 8 and tile % 8 == 0, tile  # _HB halo-block alignment.
+    assert halox <= 8, halox
+    if interpret is None:
+        interpret = not _on_tpu()
+    sums = rowwise_sumsq_tiled(
+        row_fn,
+        nterms,
+        hist,
+        halox,
+        tile,
+        interpret,
+        fields,
+        tuple(jnp.asarray(p) for p in params),
+        tuple(jnp.asarray(d) for d in data),
+        tuple(jnp.asarray(c) for c in consts),
+    )
+    cells = T * X * Y
+    return tuple(sums[k] / cells for k in range(nterms))

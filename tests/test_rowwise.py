@@ -558,3 +558,112 @@ def test_mg_fused_problem_eval_operator_falls_back():
     problem, state, extra = vt.build(nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True)
     values, names = problem.eval_operator(state)
     assert len(values) >= 2 and all(np.isfinite(float(np.asarray(v))) for v in values)
+
+
+# ---------------------------------------------------------------------------
+# x-tiled kernel (ops/rowwise_tiled.py)
+# ---------------------------------------------------------------------------
+
+
+def _tiled_case(T=9, X=16, Y=16, seed=3):
+    """A veltracer-shaped case: 3 fields, advection + laplacian regularizer
+    residuals (x/y stencil reach 1), two grid consts."""
+    rng = np.random.default_rng(seed)
+    fields = tuple(
+        jnp.asarray(rng.normal(size=(T, X, Y)), jnp.float32) * 0.3 for _ in range(3)
+    )
+    consts = tuple(jnp.asarray(rng.normal(size=(X, Y)), jnp.float32) for _ in range(2))
+
+    def row_fn(it, T_, rows, data_rows, params, consts_v):
+        (u_r, vx_r, vy_r) = rows
+        u0, u1 = consts_v
+        ucur, uprev = u_r
+        vxc, _ = vx_r
+        vyc, vyp = vy_r
+        dux = (jnp.roll(uprev, -1, 0) - jnp.roll(uprev, 1, 0)) * 0.5
+        duy = (jnp.roll(uprev, -1, 1) - jnp.roll(uprev, 1, 1)) * 0.5
+        r1 = (ucur - uprev) + vxc * dux + vyc * duy
+        r1 = jnp.where(it == 0, ucur - u0, r1)
+        r2 = jnp.where(it == T_ - 1, ucur - u1, 0.0)
+        lap = (
+            jnp.roll(vxc, -1, 0) - 2 * vxc + jnp.roll(vxc, 1, 0)
+            + jnp.roll(vxc, -1, 1) - 2 * vxc + jnp.roll(vxc, 1, 1)
+        )
+        r3 = 0.1 * lap
+        r4 = jnp.where(it == 0, 0.0, vyc - vyp)
+        return (r1, r2, r3, r4)
+
+    return fields, consts, row_fn, 4
+
+
+@pytest.mark.parametrize("tile", [8, 16])
+def test_tiled_matches_untiled(tile):
+    """The x-tiled kernel (including the nxt=1 degenerate tile=X case) must
+    reproduce the untiled kernel's loss terms and gradients, edge-cotangent
+    folding and periodic x-wrap included."""
+    from odil_tpu.ops.rowwise_tiled import rowwise_loss_terms_tiled
+
+    fields, consts, row_fn, nterms = _tiled_case()
+
+    def loss_ref(*fs):
+        ts = rowwise_loss_terms(
+            row_fn, fs, consts=consts, nterms=nterms, hist=1, interpret=True
+        )
+        return sum(ts), tuple(ts)
+
+    def loss_tiled(*fs):
+        ts = rowwise_loss_terms_tiled(
+            row_fn, fs, consts=consts, nterms=nterms, hist=1, halox=1,
+            tile=tile, interpret=True,
+        )
+        return sum(ts), tuple(ts)
+
+    (l0, t0), g0 = jax.value_and_grad(loss_ref, argnums=(0, 1, 2), has_aux=True)(*fields)
+    (l1, t1), g1 = jax.value_and_grad(loss_tiled, argnums=(0, 1, 2), has_aux=True)(*fields)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(t0, t1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_hist2():
+    """hist=2 stencils (second-order in time) through the tiled kernel."""
+    from odil_tpu.ops.rowwise_tiled import rowwise_loss_terms_tiled
+
+    rng = np.random.default_rng(7)
+    T, X, Y = 8, 16, 16
+    u = jnp.asarray(rng.normal(size=(T, X, Y)), jnp.float32)
+
+    def row_fn(it, T_, rows, data_rows, params, consts_v):
+        ((cur, prev, prev2),) = rows
+        lap = jnp.roll(cur, -1, 0) - 2 * cur + jnp.roll(cur, 1, 0)
+        r = (cur - 2 * prev + prev2) - 0.1 * lap
+        r = jnp.where((it == 0) | (it == 1), 0.0, r)
+        return (r,)
+
+    def loss_ref(u):
+        (t,) = rowwise_loss_terms(row_fn, (u,), nterms=1, hist=2, interpret=True)
+        return t
+
+    def loss_tiled(u):
+        (t,) = rowwise_loss_terms_tiled(
+            row_fn, (u,), nterms=1, hist=2, halox=1, tile=8, interpret=True
+        )
+        return t
+
+    np.testing.assert_allclose(float(loss_ref(u)), float(loss_tiled(u)), rtol=1e-6)
+    g0 = jax.grad(loss_ref)(u)
+    g1 = jax.grad(loss_tiled)(u)
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1), rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_autoroute_shapes():
+    """pick_tile splits oversized planes and the wrapper routes to the tiled
+    kernel only on TPU (on CPU the XLA fallback keeps running)."""
+    from odil_tpu.ops.rowwise_tiled import pick_tile, tiled_vmem_estimate
+
+    W = pick_tile(512, 512, 4, nf=3, nd=0, nc=2, hist=1)
+    assert W is not None and W < 512 and 512 % W == 0
+    assert tiled_vmem_estimate(W, 512, 4, 3, 0, 2, 1) <= 10 * 1024 * 1024
+    assert pick_tile(256, 256, 4, nf=3, nd=0, nc=2, hist=1) == 256  # fits whole
