@@ -197,8 +197,10 @@ def _mg_loss_and_grads(ctx):
     """Fused one-pass loss+gradients for the training step
     (Problem.make_loss_grad_fn): the backward sweep accumulates the loss
     terms while computing cotangents, so the forward kernel is skipped.
-    Returns (terms, {key: (d_t0, d_coarse)})."""
+    Routes to the whole-plane mg kernel when it fits VMEM, else to the
+    x-tiled variant (512^2+).  Returns (terms, {key: (d_t0, d_coarse)})."""
     from ..ops.rowwise_mg import rowwise_mg_loss_and_grads
+    from ..ops.rowwise_mg_tiled import mg_tiled_supported, rowwise_mg_tiled_loss_and_grads
 
     parts = ctx.mg_partials
     keys = ("u", "vx", "vy")
@@ -207,28 +209,43 @@ def _mg_loss_and_grads(ctx):
     dt, dx, dy = map(float, ctx.step())
     row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
     nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
-    terms, (dt0, dcoarse, _) = rowwise_mg_loss_and_grads(
-        row_fn,
-        t0s=tuple(parts[k][0] for k in keys),
-        coarse=tuple(parts[k][2] for k in keys),
-        factors0=tuple(parts[k][1] for k in keys),
-        consts=(extra.u_init, extra.u_final),
-        nterms=nterms,
-        hist=1,
-    )
+    t0s = tuple(parts[k][0] for k in keys)
+    coarse = tuple(parts[k][2] for k in keys)
+    factors0 = tuple(parts[k][1] for k in keys)
+    consts = (extra.u_init, extra.u_final)
+    if _mg_supported(tuple(t.shape for t in t0s), ctx.dtype):
+        terms, (dt0, dcoarse, _) = rowwise_mg_loss_and_grads(
+            row_fn, t0s=t0s, coarse=coarse, factors0=factors0,
+            consts=consts, nterms=nterms, hist=1,
+        )
+    else:
+        cfg = mg_tiled_supported(tuple(t.shape for t in t0s), ctx.dtype, hist=1)
+        terms, (dt0, dcoarse, _) = rowwise_mg_tiled_loss_and_grads(
+            row_fn, t0s=t0s, coarse=coarse, factors0=factors0,
+            consts=consts, nterms=nterms, hist=1, tile_cfg=cfg,
+        )
     return list(terms), {k: (dt0[i], dcoarse[i]) for i, k in enumerate(keys)}
 
 
 def _mg_supported(t0_shapes, dtype):
-    """VMEM-fit gate shared by the mg eval operator and the fused
-    loss+grad path (Problem.make_loss_grad_fn probes it via the
-    ``supported`` attribute)."""
+    """VMEM-fit gate for the whole-plane mg kernel (the eval operator's
+    fallback decision)."""
     from ..ops.rowwise_mg import MG_VMEM_LIMIT, mg_vmem_estimate
 
     return mg_vmem_estimate(t0_shapes, dtype, hist=1, nconsts=2) <= MG_VMEM_LIMIT
 
 
-_mg_loss_and_grads.supported = _mg_supported
+def _mg_loss_and_grads_supported(t0_shapes, dtype):
+    """Probe for Problem.make_loss_grad_fn: the fused one-pass path runs
+    whole-plane when it fits VMEM, or x-tiled (rowwise_mg_tiled) beyond."""
+    from ..ops.rowwise_mg_tiled import mg_tiled_supported
+
+    return _mg_supported(t0_shapes, dtype) or (
+        mg_tiled_supported(t0_shapes, dtype, hist=1) is not None
+    )
+
+
+_mg_loss_and_grads.supported = _mg_loss_and_grads_supported
 operator_fused_mg.loss_and_grads = _mg_loss_and_grads
 
 

@@ -530,12 +530,15 @@ def test_mg_vmem_gate_declines_large_planes():
     assert _mg_supported(small, np.float32)
     assert not _mg_supported(big, np.float32)
 
-    # End to end on a (tiny-t, 512, 512) problem: loss_grad_fn declines,
-    # eval still works through the fallback chain.
+    # End to end on a (tiny-t, 512, 512) problem: the fused loss+grad path
+    # stays available through the x-tiled mg kernel (rowwise_mg_tiled),
+    # and eval works through the fallback chain.
     from odil_tpu.models import veltracer as vt
+    from odil_tpu.ops.rowwise_mg_tiled import mg_tiled_supported
 
+    assert mg_tiled_supported(big, np.float32, hist=1) is not None
     problem, state, extra = vt.build(nt=4, nx=512, ny=512, kernel="pallas_mg", multigrid=True)
-    assert problem.make_loss_grad_fn(state) is None
+    assert problem.make_loss_grad_fn(state) is not None
     loss, grads, terms, names, norms = problem.eval_loss_grad(state)
     assert np.isfinite(float(loss))
 
@@ -667,3 +670,54 @@ def test_tiled_autoroute_shapes():
     assert W is not None and W < 512 and 512 % W == 0
     assert tiled_vmem_estimate(W, 512, 4, 3, 0, 2, 1) <= 10 * 1024 * 1024
     assert pick_tile(256, 256, 4, nf=3, nd=0, nc=2, hist=1) == 256  # fits whole
+
+
+def test_mg_tiled_matches_untiled():
+    """The x-tiled MG-fused one-pass loss+grad kernel must reproduce the
+    untiled mg kernel's terms and gradients (tile forced at a size the
+    router would keep untiled), edge and coarse-window folds included."""
+    from odil_tpu.ops.rowwise_mg import rowwise_mg_loss_and_grads
+    from odil_tpu.ops.rowwise_mg_tiled import rowwise_mg_tiled_loss_and_grads
+
+    rng = np.random.default_rng(11)
+    T, X, Y = 9, 64, 64
+    Tc, CX, CY = 5, 32, 32
+    nf = 3
+    t0s = tuple(jnp.asarray(rng.normal(size=(T, X, Y)), jnp.float32) * 0.3 for _ in range(nf))
+    coarse = tuple(jnp.asarray(rng.normal(size=(Tc, CX, CY)), jnp.float32) * 0.3 for _ in range(nf))
+    consts = tuple(jnp.asarray(rng.normal(size=(X, Y)), jnp.float32) for _ in range(2))
+    factors0 = (0.7, 1.1, 0.9)
+
+    def row_fn(it, T_, rows, data_rows, params, consts_v):
+        (u_r, vx_r, vy_r) = rows
+        u0, u1 = consts_v
+        ucur, uprev = u_r
+        vxc, _ = vx_r
+        vyc, vyp = vy_r
+        dux = (jnp.roll(uprev, -1, 0) - jnp.roll(uprev, 1, 0)) * 0.5
+        duy = (jnp.roll(uprev, -1, 1) - jnp.roll(uprev, 1, 1)) * 0.5
+        r1 = (ucur - uprev) + vxc * dux + vyc * duy
+        r1 = jnp.where(it == 0, ucur - u0, r1)
+        r2 = jnp.where(it == T_ - 1, ucur - u1, 0.0)
+        lap = (
+            jnp.roll(vxc, -1, 0) - 2 * vxc + jnp.roll(vxc, 1, 0)
+            + jnp.roll(vxc, -1, 1) - 2 * vxc + jnp.roll(vxc, 1, 1)
+        )
+        r3 = 0.1 * lap
+        r4 = jnp.where(it == 0, 0.0, vyc - vyp)
+        return (r1, r2, r3, r4)
+
+    t_ref, (dt0_ref, dc_ref, _) = rowwise_mg_loss_and_grads(
+        row_fn, t0s=t0s, coarse=coarse, factors0=factors0, consts=consts,
+        nterms=4, hist=1,
+    )
+    t_til, (dt0_til, dc_til, _) = rowwise_mg_tiled_loss_and_grads(
+        row_fn, t0s=t0s, coarse=coarse, factors0=factors0, consts=consts,
+        nterms=4, hist=1, tile_cfg=(32, 1, 2),
+    )
+    for a, b in zip(t_ref, t_til):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    for a, b in zip(dt0_ref, dt0_til):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+    for a, b in zip(dc_ref, dc_til):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
