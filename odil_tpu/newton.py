@@ -24,7 +24,7 @@ inside one jitted step -- no Jacobian is ever materialized (SURVEY.md §7
 """
 
 from argparse import Namespace
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

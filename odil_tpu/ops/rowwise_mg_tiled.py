@@ -33,7 +33,7 @@ prolongation rows (t0 part and coarse part) -- tiny dense ops over
 ``nxt * 2h`` x-rows.
 """
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

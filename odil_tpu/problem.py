@@ -24,7 +24,7 @@ import jax
 import numpy as np
 
 from .context import Context
-from .fields import Array, Field, MultigridField, NeuralNet, field_arrays
+from .fields import Field, MultigridField, field_arrays
 
 __all__ = ["Problem"]
 
