@@ -265,216 +265,6 @@ def _backward_mg(
         wcot_refs = refs[pos:]
 
         i = pl.program_id(0)
-        Wx_v, Wy_v = w_refs[0][...], w_refs[1][...]
-        consts_v = tuple(r[...] for r in const_refs)
-        params_v = tuple(r[...] for r in param_refs)
-        gvec = g_ref[0]
-
-        # Live region: everything except finalization in ONE predicated
-        # block (tail programs i >= T skip it entirely); within it, ring
-        # adds are branchless -- value-masked with jnp.where instead of
-        # per-write pl.when regions.
-        @pl.when(i < T)
-        def _():
-            fresh_rows = []
-            rows = []
-            for f in range(nf):
-                fresh = _recon(
-                    i, t0_refs[f][0], c_refs[2 * f][0], c_refs[2 * f + 1][0],
-                    Wx_v, Wy_v, f0s[f],
-                )
-                fresh_rows.append(fresh)
-                frows = [fresh]
-                for m in range(1, hist + 1):
-                    ring_row = ring_refs[f][(i - m) % hist]
-                    wrap_row = wrap_refs[f][jnp.clip(hist + i - m, 0, hist - 1)]
-                    frows.append(jnp.where(i - m >= 0, ring_row, wrap_row))
-                rows.append(tuple(frows))
-            data_rows = tuple(r[0] for r in data_refs)
-
-            def residuals_of(*args):
-                flat_rows = args[: nf * (hist + 1)]
-                pv = args[nf * (hist + 1) :]
-                rws = tuple(
-                    tuple(flat_rows[f * (hist + 1) + m] for m in range(hist + 1))
-                    for f in range(nf)
-                )
-                return tuple(row_fn(i, T, rws, data_rows, pv, consts_v))
-
-            flat_rows = tuple(rows[f][m] for f in range(nf) for m in range(hist + 1))
-            res, vjp_fn = jax.vjp(residuals_of, *(flat_rows + tuple(params_v)))
-            w = _weights_of(gvec, res, nterms)
-            cots = vjp_fn(w)
-            first = i == 0
-
-            if with_sums:
-                sums = _sumsq_vec(res)
-                out_sums_ref[0, :] = jnp.where(first, sums, out_sums_ref[0, :] + sums)
-
-            for p in range(np_):
-                cp = cots[nf * (hist + 1) + p]
-                out_param_refs[p][...] = jnp.where(
-                    first, cp, out_param_refs[p][...] + cp
-                )
-
-            if hist:
-                @pl.when(first)
-                def _():
-                    for f in range(nf):
-                        wcot_refs[f][...] = jnp.zeros(
-                            (hist,) + t0s[f].shape[1:], t0s[f].dtype
-                        )
-
-            # Scatter: c[m] targets row i - m.  Branchless: when the target
-            # belongs to the other destination the added value is masked to
-            # zero (harmless add into a slot that is written before any
-            # read).
-            for f in range(nf):
-                for m in range(1, hist + 1):
-                    c_fm = cots[f * (hist + 1) + m]
-                    acc_refs[f][(i - m) % adepth] += jnp.where(i >= m, c_fm, 0)
-                    # Wrapped target row T + i - m (one of the last hist).
-                    wcot_refs[f][jnp.clip(hist + i - m, 0, hist - 1)] += jnp.where(
-                        i < m, c_fm, 0
-                    )
-                acc_refs[f][i % adepth] = cots[f * (hist + 1)]
-
-            # Carry the fresh row for the next `hist` programs (after all
-            # ring reads).
-            for f in range(nf):
-                if hist:
-                    ring_refs[f][i % hist] = fresh_rows[f]
-
-        # Finalize output row t = i - hist: complete after this program's
-        # m=hist contribution.  Split dfine into t0 and coarse cotangents
-        # by linearity of the reconstruction.
-        @pl.when(i >= hist)
-        def _():
-            t = i - hist
-            wt = 0.5 * (t % 2).astype(t0s[0].dtype)
-            even = t % 2 == 0
-            for f in range(nf):
-                complete = acc_refs[f][t % adepth]
-                if hist:
-                    wrapc = wcot_refs[f][jnp.clip(i - T, 0, hist - 1)]
-                    complete = jnp.where(i >= T, complete + wrapc, complete)
-                out_t0_refs[f][0] = f0s[f] * complete
-                dc = _down2d(complete, Wx_v, Wy_v)
-                # k=0 target row t//2: visited at t = 2b, 2b+1 -- initialize
-                # on the even visit, accumulate on the odd (branchless RMW).
-                v0 = (1.0 - wt) * dc
-                out_c0_refs[f][0] = jnp.where(even, v0, out_c0_refs[f][0] + v0)
-                # k=1 target row t//2+1 (clamped): visited at t = 2b-2, 2b-1
-                # and, for the clamped final even t, re-visited -- accumulate
-                # there instead of re-initializing.
-                v1 = wt * dc
-                init1 = even & (t // 2 + 1 < Tc)
-                out_c1_refs[f][0] = jnp.where(init1, v1, out_c1_refs[f][0] + v1)
-
-    in_specs = (
-        [_row_spec(t.shape, T, 0) for t in t0s]
-        + [_coarse_spec(c.shape, T, Tc, 0, k) for c in coarse for k in (0, 1)]
-        + [_resident_spec(w.shape) for w in wraps]
-        + [_row_spec(d.shape, T, 0) for d in data]
-        + [_whole_spec(Wx.shape), _whole_spec(Wy.shape)]
-        + [_whole_spec(c.shape) for c in consts]
-        + [_whole_spec(p.shape) for p in params]
-    )
-    inputs = (
-        list(t0s)
-        + [c for c in coarse for _ in range(2)]
-        + wraps
-        + list(data)
-        + [Wx, Wy]
-        + list(consts)
-        + list(params)
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid=(T,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, nterms), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((1, nterms), t0s[0].dtype),
-        scratch_shapes=[
-            pltpu.VMEM((hist,) + tuple(t.shape[1:]), t.dtype) for t in (t0s if hist else ())
-        ],
-        interpret=interpret,
-    )(*inputs)
-    return out[0]
-
-
-def _backward_mg(
-    row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts, g,
-    with_sums=False,
-):
-    """Gradients w.r.t. (t0s, coarse, params) of sum_k g[k] * S[k].
-
-    with_sums=True additionally accumulates the per-term sums of squares
-    S[k] (each residual row is evaluated here anyway), turning this pass
-    into a fused loss+gradient evaluation that makes the forward kernel
-    redundant for training steps.
-
-    Single-vjp scatter: each residual row is linearized exactly ONCE (the
-    naive formulation runs hist+1 vjps per program, keeping accumulation
-    local to the program's own output row; at hist=1 that is 2x the
-    linearization compute).  Program i of a (T + hist)-program grid:
-
-      - reconstructs fine row i fresh (ring-carried for the next `hist`
-        programs; rows j < 0 wrap to XLA-reconstructed residents),
-      - runs ONE jax.vjp of residual row i, whose cotangents c[m] target
-        input rows i-m for m = 0..hist,
-      - scatters: c[0] initializes accumulation-ring slot i % (hist+1);
-        c[m>=1] adds to slot (i-m) % (hist+1), or -- for i < m, where the
-        target wraps to row T+i-m -- to a resident wrap-cotangent scratch
-        consumed by the tail programs,
-      - finalizes output row t = i - hist (complete once program i's
-        m=hist contribution lands): splits the fine cotangent into t0 and
-        coarse parts by linearity of the reconstruction.
-
-    Programs i >= T skip the compute (writes are masked) and only finalize
-    the last `hist` rows, folding in the wrap-cotangent scratch."""
-    T = t0s[0].shape[0]
-    Tc = coarse[0].shape[0]
-    nf, np_, nd = len(t0s), len(params), len(data)
-    adepth = hist + 1  # Accumulation-ring depth (rows t in flight).
-    gmat = jnp.reshape(g, (1, nterms))
-    wraps = [
-        _recon_rows_xla(t0s[f], coarse[f], range(T - hist, T), Wx, Wy, f0s[f])
-        for f in range(nf)
-    ] if hist else []
-
-    def kernel(*refs):
-        pos = 0
-        t0_refs = refs[pos : pos + nf]
-        pos += nf
-        c_refs = refs[pos : pos + nf * 2]
-        pos += nf * 2
-        wrap_refs = refs[pos : pos + len(wraps)]
-        pos += len(wraps)
-        data_refs = refs[pos : pos + nd]
-        pos += nd
-        w_refs = refs[pos : pos + 2]
-        pos += 2
-        const_refs = refs[pos : pos + len(consts)]
-        pos += len(consts)
-        param_refs = refs[pos : pos + np_]
-        pos += np_
-        g_ref = refs[pos]
-        pos += 1
-        out_t0_refs = refs[pos : pos + nf]
-        out_c0_refs = refs[pos + nf : pos + 2 * nf]
-        out_c1_refs = refs[pos + 2 * nf : pos + 3 * nf]
-        out_param_refs = refs[pos + 3 * nf : pos + 3 * nf + np_]
-        pos += 3 * nf + np_
-        out_sums_ref = refs[pos] if with_sums else None
-        pos += 1 if with_sums else 0
-        ring_refs = refs[pos : pos + (nf if hist else 0)]
-        pos += nf if hist else 0
-        acc_refs = refs[pos : pos + nf]
-        pos += nf
-        wcot_refs = refs[pos:]
-
-        i = pl.program_id(0)
         live = i < T  # Tail programs (i >= T) only finalize.
         Wx_v, Wy_v = w_refs[0][...], w_refs[1][...]
         consts_v = tuple(r[...] for r in const_refs)
