@@ -210,9 +210,23 @@ def _mg_loss_and_grads(ctx):
     row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
     nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
     t0s = tuple(parts[k][0] for k in keys)
-    coarse = tuple(parts[k][2] for k in keys)
     factors0 = tuple(parts[k][1] for k in keys)
     consts = (extra.u_init, extra.u_final)
+    if len(parts[keys[0]]) == 5:
+        # Two-level fusion (partial_depth 2): parts = (t0, f0, t1, f1, P2);
+        # only selected on shapes where the whole-plane kernel fits.
+        t1s = tuple(parts[k][2] for k in keys)
+        factors1 = tuple(parts[k][3] for k in keys)
+        P2 = tuple(parts[k][4] for k in keys)
+        terms, (dt0, dt1, dP2, _) = rowwise_mg_loss_and_grads(
+            row_fn, t0s=t0s, coarse=P2, factors0=factors0,
+            consts=consts, nterms=nterms, hist=1,
+            t1s=t1s, factors1=factors1,
+        )
+        return list(terms), {
+            k: (dt0[i], dt1[i], dP2[i]) for i, k in enumerate(keys)
+        }
+    coarse = tuple(parts[k][2] for k in keys)
     if _mg_supported(tuple(t.shape for t in t0s), ctx.dtype):
         terms, (dt0, dcoarse, _) = rowwise_mg_loss_and_grads(
             row_fn, t0s=t0s, coarse=coarse, factors0=factors0,
@@ -245,7 +259,14 @@ def _mg_loss_and_grads_supported(t0_shapes, dtype):
     )
 
 
+def _mg_partial_depth(t0_shapes, dtype):
+    """Fuse TWO Horner levels when the whole-plane kernel fits VMEM (the
+    x-tiled fallback is single-level), one otherwise."""
+    return 2 if _mg_supported(t0_shapes, dtype) else 1
+
+
 _mg_loss_and_grads.supported = _mg_loss_and_grads_supported
+_mg_loss_and_grads.partial_depth = _mg_partial_depth
 operator_fused_mg.loss_and_grads = _mg_loss_and_grads
 
 

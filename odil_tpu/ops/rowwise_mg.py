@@ -100,6 +100,32 @@ def _recon_rows_xla(t0, P, rows, Wx, Wy, f0):
     return jnp.stack(out)
 
 
+def _recon_p1_xla(t1, P2, rows, W1x, W1y, f1):
+    """Level-1 rows P1[r] = f1 * t1[r] + up2d(blend_t2(P2), W1x, W1y) with
+    the exact operation order of the in-kernel level-1 reconstruction."""
+    Tc2 = P2.shape[0]
+    out = []
+    for r in rows:
+        w = 0.5 * jnp.asarray(r % 2, P2.dtype)
+        c = (1.0 - w) * P2[r // 2] + w * P2[min(r // 2 + 1, Tc2 - 1)]
+        out.append(f1 * t1[r] + _up2d(c, W1x, W1y))
+    return jnp.stack(out)
+
+
+def _recon_rows_xla_2(t0, t1, P2, rows, Wx, Wy, W1x, W1y, f0, f1):
+    """Two-level fine-row reconstruction (levels 2 -> 1 -> 0) mirroring the
+    in-kernel order, for the periodic-wrap residents."""
+    Tc1 = t1.shape[0]
+    out = []
+    for r in rows:
+        r1a, r1b = r // 2, min(r // 2 + 1, Tc1 - 1)
+        p1 = _recon_p1_xla(t1, P2, [r1a, r1b], W1x, W1y, f1)
+        w = 0.5 * jnp.asarray(r % 2, P2.dtype)
+        c = (1.0 - w) * p1[0] + w * p1[1]
+        out.append(f0 * t0[r] + _up2d(c, Wx, Wy))
+    return jnp.stack(out)
+
+
 def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts):
     T = t0s[0].shape[0]
     Tc = coarse[0].shape[0]
@@ -195,9 +221,17 @@ def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, param
 
 def _backward_mg(
     row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts, g,
-    with_sums=False,
+    with_sums=False, lvl2=None,
 ):
     """Gradients w.r.t. (t0s, coarse, params) of sum_k g[k] * S[k].
+
+    lvl2 = (t1s, f1s, W1x, W1y) switches on TWO-level fusion: ``coarse``
+    is then the level-2 Horner partial P2, and level-1 rows
+    P1[r] = f1 * t1[r] + up2d(blend_t2(P2), W1x, W1y) are reconstructed
+    in VMEM on even fine rows and carried in a depth-2 ring (row 0 enters
+    as a tiny XLA-computed resident).  The dc0/dc1 outputs then hold the
+    LEVEL-1 cotangent dP1; its split into (dt1, dP2) happens in the
+    caller's XLA epilogue by the same linearity argument.
 
     with_sums=True additionally accumulates the per-term sums of squares
     S[k] (each residual row is evaluated here anyway), turning this pass
@@ -224,14 +258,34 @@ def _backward_mg(
     Programs i >= T skip the compute (writes are masked) and only finalize
     the last `hist` rows, folding in the wrap-cotangent scratch."""
     T = t0s[0].shape[0]
-    Tc = coarse[0].shape[0]
     nf, np_, nd = len(t0s), len(params), len(data)
     adepth = hist + 1  # Accumulation-ring depth (rows t in flight).
     gmat = jnp.reshape(g, (1, nterms))
-    wraps = [
-        _recon_rows_xla(t0s[f], coarse[f], range(T - hist, T), Wx, Wy, f0s[f])
-        for f in range(nf)
-    ] if hist else []
+    if lvl2 is None:
+        Tc = coarse[0].shape[0]  # P1 rows (the dc output target count).
+        wraps = [
+            _recon_rows_xla(t0s[f], coarse[f], range(T - hist, T), Wx, Wy, f0s[f])
+            for f in range(nf)
+        ] if hist else []
+        p1heads = []
+        t1s = f1s = W1x = W1y = None
+        p1_shape = coarse[0].shape
+    else:
+        t1s, f1s, W1x, W1y = lvl2
+        Tc = t1s[0].shape[0]
+        Tc2 = coarse[0].shape[0]
+        assert Tc == 2 * (Tc2 - 1) + 1, (Tc, Tc2)
+        p1_shape = (Tc, t0s[0].shape[1] // 2, t0s[0].shape[2] // 2)
+        wraps = [
+            _recon_rows_xla_2(
+                t0s[f], t1s[f], coarse[f], range(T - hist, T), Wx, Wy, W1x, W1y,
+                f0s[f], f1s[f],
+            )
+            for f in range(nf)
+        ] if hist else []
+        p1heads = [
+            _recon_p1_xla(t1s[f], coarse[f], [0], W1x, W1y, f1s[f]) for f in range(nf)
+        ]
 
     def kernel(*refs):
         pos = 0
@@ -239,12 +293,20 @@ def _backward_mg(
         pos += nf
         c_refs = refs[pos : pos + nf * 2]
         pos += nf * 2
+        if lvl2 is not None:
+            t1_refs = refs[pos : pos + nf]
+            pos += nf
+            p1head_refs = refs[pos : pos + nf]
+            pos += nf
         wrap_refs = refs[pos : pos + len(wraps)]
         pos += len(wraps)
         data_refs = refs[pos : pos + nd]
         pos += nd
         w_refs = refs[pos : pos + 2]
         pos += 2
+        if lvl2 is not None:
+            w1_refs = refs[pos : pos + 2]
+            pos += 2
         const_refs = refs[pos : pos + len(consts)]
         pos += len(consts)
         param_refs = refs[pos : pos + np_]
@@ -262,7 +324,9 @@ def _backward_mg(
         pos += nf if hist else 0
         acc_refs = refs[pos : pos + nf]
         pos += nf
-        wcot_refs = refs[pos:]
+        wcot_refs = refs[pos : pos + (nf if hist else 0)]
+        pos += nf if hist else 0
+        p1ring_refs = refs[pos:]
 
         i = pl.program_id(0)
         live = i < T  # Tail programs (i >= T) only finalize.
@@ -273,13 +337,44 @@ def _backward_mg(
 
         # Reconstruct fine row i (tail programs compute garbage row i % T;
         # all their writes are masked).  rows[f][m] = fine row i - m.
+        if lvl2 is not None:
+            # Two-level mode: maintain the depth-2 level-1 ring.  Row 0
+            # enters as a resident at i == 0; on even fine rows, row
+            # r1 = min(i//2 + 1, Tc-1) is reconstructed from t1 + P2.
+            W1x_v, W1y_v = w1_refs[0][...], w1_refs[1][...]
+            it = i % T
+            r1 = jnp.minimum(it // 2 + 1, Tc - 1)
+
+            @pl.when(i == 0)
+            def _():
+                for f in range(nf):
+                    p1ring_refs[f][0] = p1head_refs[f][0]
+
+            @pl.when(it % 2 == 0)
+            def _():
+                w2 = 0.5 * (r1 % 2).astype(t0s[0].dtype)
+                for f in range(nf):
+                    c2 = (1.0 - w2) * c_refs[2 * f][0] + w2 * c_refs[2 * f + 1][0]
+                    p1ring_refs[f][r1 % 2] = f1s[f] * t1_refs[f][0] + _up2d(
+                        c2, W1x_v, W1y_v
+                    )
+
         fresh_rows = []
         rows = []
         for f in range(nf):
-            fresh = _recon(
-                i % T, t0_refs[f][0], c_refs[2 * f][0], c_refs[2 * f + 1][0],
-                Wx_v, Wy_v, f0s[f],
-            )
+            if lvl2 is None:
+                fresh = _recon(
+                    i % T, t0_refs[f][0], c_refs[2 * f][0], c_refs[2 * f + 1][0],
+                    Wx_v, Wy_v, f0s[f],
+                )
+            else:
+                fresh = _recon(
+                    i % T,
+                    t0_refs[f][0],
+                    p1ring_refs[f][((i % T) // 2) % 2],
+                    p1ring_refs[f][jnp.minimum((i % T) // 2 + 1, Tc - 1) % 2],
+                    Wx_v, Wy_v, f0s[f],
+                )
             fresh_rows.append(fresh)
             frows = [fresh]
             for m in range(1, hist + 1):
@@ -381,12 +476,45 @@ def _backward_mg(
             if hist:
                 ring_refs[f][i % hist] = fresh_rows[f]
 
+    if lvl2 is not None:
+        def _t1_spec(shape):
+            zeros = (0,) * (len(shape) - 1)
+            return pl.BlockSpec(
+                (1,) + tuple(shape[1:]),
+                lambda i: (jnp.minimum((i % T) // 2 + 1, Tc - 1),) + zeros,
+            )
+
+        def _p2_spec(shape, k):
+            zeros = (0,) * (len(shape) - 1)
+
+            def index_map(i):
+                r1 = jnp.minimum((i % T) // 2 + 1, Tc - 1)
+                return (jnp.minimum(r1 // 2 + k, Tc2 - 1),) + zeros
+
+            return pl.BlockSpec((1,) + tuple(shape[1:]), index_map)
+
+        c_in_specs = [_p2_spec(c.shape, k) for c in coarse for k in (0, 1)]
+        lvl2_specs = (
+            [_t1_spec(t.shape) for t in t1s]
+            + [_resident_spec(h.shape) for h in p1heads]
+        )
+        lvl2_inputs = list(t1s) + p1heads
+        w1_specs = [_whole_spec(W1x.shape), _whole_spec(W1y.shape)]
+        w1_inputs = [W1x, W1y]
+    else:
+        c_in_specs = [_coarse_spec(c.shape, T, Tc, 0, k) for c in coarse for k in (0, 1)]
+        lvl2_specs = []
+        lvl2_inputs = []
+        w1_specs = []
+        w1_inputs = []
     in_specs = (
         [_row_spec(t.shape, T, 0) for t in t0s]
-        + [_coarse_spec(c.shape, T, Tc, 0, k) for c in coarse for k in (0, 1)]
+        + c_in_specs
+        + lvl2_specs
         + [_resident_spec(w.shape) for w in wraps]
         + [_row_spec(d.shape, T, 0) for d in data]
         + [_whole_spec(Wx.shape), _whole_spec(Wy.shape)]
+        + w1_specs
         + [_whole_spec(c.shape) for c in consts]
         + [_whole_spec(p.shape) for p in params]
         + [_whole_spec((1, nterms))]
@@ -394,23 +522,25 @@ def _backward_mg(
     inputs = (
         list(t0s)
         + [c for c in coarse for _ in range(2)]
+        + lvl2_inputs
         + wraps
         + list(data)
         + [Wx, Wy]
+        + w1_inputs
         + list(consts)
         + list(params)
         + [gmat]
     )
     out_specs = (
         [_row_spec(t.shape, T, -hist) for t in t0s]
-        + [_coarse_spec(c.shape, T, Tc, -hist, 0) for c in coarse]
-        + [_coarse_spec(c.shape, T, Tc, -hist, 1) for c in coarse]
+        + [_coarse_spec(p1_shape, T, Tc, -hist, 0) for _ in range(nf)]
+        + [_coarse_spec(p1_shape, T, Tc, -hist, 1) for _ in range(nf)]
         + [_whole_spec(p.shape) for p in params]
         + ([_whole_spec((1, nterms))] if with_sums else [])
     )
     out_shapes = (
         [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in t0s]
-        + [jax.ShapeDtypeStruct(c.shape, c.dtype) for c in coarse] * 2
+        + [jax.ShapeDtypeStruct(p1_shape, t0s[0].dtype)] * (2 * nf)
         + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
         + ([jax.ShapeDtypeStruct((1, nterms), t0s[0].dtype)] if with_sums else [])
     )
@@ -420,7 +550,9 @@ def _backward_mg(
         pltpu.VMEM((adepth,) + tuple(t.shape[1:]), t.dtype) for t in t0s
     ] + [
         pltpu.VMEM((hist,) + tuple(t.shape[1:]), t.dtype) for t in (t0s if hist else ())
-    ]
+    ] + ([
+        pltpu.VMEM((2,) + tuple(p1_shape[1:]), t0s[0].dtype) for _ in t0s
+    ] if lvl2 is not None else [])
     outs = pl.pallas_call(
         kernel,
         grid=(T + hist,),
@@ -526,6 +658,8 @@ def rowwise_mg_loss_and_grads(
     nterms=1,
     hist=1,
     interpret=None,
+    t1s=None,
+    factors1=None,
 ):
     """One-pass fused loss AND gradients for the training step.
 
@@ -536,29 +670,76 @@ def rowwise_mg_loss_and_grads(
     row for its in-kernel vjp, so accumulating the sums of squares there
     makes the separate forward kernel redundant: one kernel per epoch
     instead of two.  Not differentiable (it IS the gradient); for a
-    differentiable loss use ``rowwise_loss_terms_mg``."""
-    t0s, coarse, Wx, Wy, f0s, interpret, cells = _prepare_mg(
-        t0s, coarse, factors0, hist, interpret
-    )
-    g = jnp.full((nterms,), 1.0 / cells, t0s[0].dtype)
-    dt0, dcoarse, dparams, sums = _backward_mg(
-        row_fn,
-        nterms,
-        hist,
-        f0s,
-        interpret,
-        t0s,
-        coarse,
-        Wx,
-        Wy,
+    differentiable loss use ``rowwise_loss_terms_mg``.
+
+    t1s/factors1 (with ``coarse`` = the level-2 partial P2) switch on
+    TWO-level fusion: the level-1 Horner step also runs in VMEM, so the
+    XLA prologue stops at level 2 (<= 1/64 of the fine size).  Returns
+    (terms, (dt0, dt1, dP2, dparams)); the level-1 cotangent emitted by
+    the kernel is split into (dt1, dP2) here by linearity (down-sample
+    each row, then the exact transposed t-blend)."""
+    if t1s is None:
+        t0s, coarse, Wx, Wy, f0s, interpret, cells = _prepare_mg(
+            t0s, coarse, factors0, hist, interpret
+        )
+        g = jnp.full((nterms,), 1.0 / cells, t0s[0].dtype)
+        dt0, dcoarse, dparams, sums = _backward_mg(
+            row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy,
+            tuple(jnp.asarray(p) for p in params),
+            tuple(jnp.asarray(d) for d in data),
+            tuple(jnp.asarray(c) for c in consts),
+            g, with_sums=True,
+        )
+        terms = tuple(sums[k] / cells for k in range(nterms))
+        return terms, (dt0, dcoarse, dparams)
+
+    from .rowwise import _on_tpu
+    from ..transfer import _interp_matrix
+
+    t0s = tuple(jnp.asarray(t) for t in t0s)
+    t1s = tuple(jnp.asarray(t) for t in t1s)
+    coarse = tuple(jnp.asarray(c) for c in coarse)  # P2.
+    T, X, Y = t0s[0].shape
+    Tc1, CX1, CY1 = t1s[0].shape
+    Tc2, CX2, CY2 = coarse[0].shape
+    assert T == 2 * (Tc1 - 1) + 1 and Tc1 == 2 * (Tc2 - 1) + 1, (T, Tc1, Tc2)
+    assert (CX1, CY1) == (X // 2, Y // 2) and (CX2, CY2) == (CX1 // 2, CY1 // 2)
+    assert T > 2 * hist
+    if interpret is None:
+        interpret = not _on_tpu()
+    dtype = t0s[0].dtype
+    Wx = jnp.asarray(_interp_matrix(CX1, "c", dtype))
+    Wy = jnp.asarray(_interp_matrix(CY1, "c", dtype))
+    W1x = jnp.asarray(_interp_matrix(CX2, "c", dtype))
+    W1y = jnp.asarray(_interp_matrix(CY2, "c", dtype))
+    f0s = tuple(float(f) for f in factors0)
+    f1s = tuple(float(f) for f in factors1)
+    cells = T * X * Y
+    nf = len(t0s)
+    g = jnp.full((nterms,), 1.0 / cells, dtype)
+    dt0, dP1, dparams, sums = _backward_mg(
+        row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy,
         tuple(jnp.asarray(p) for p in params),
         tuple(jnp.asarray(d) for d in data),
         tuple(jnp.asarray(c) for c in consts),
-        g,
-        with_sums=True,
+        g, with_sums=True, lvl2=(t1s, f1s, W1x, W1y),
     )
+    # Split dP1 into (dt1, dP2) by linearity of the level-1 reconstruction:
+    # dt1 = f1 * dP1; dP2[r2] = sum over r1 of blend-weights * down2d(dP1).
+    dt1 = tuple(f1s[f] * dP1[f] for f in range(nf))
+    dP2 = []
+    for f in range(nf):
+        dd = jnp.einsum("xa,txy,yb->tab", W1x, dP1[f], W1y)  # down2d per row.
+        ev = dd[0::2]
+        odd = dd[1::2]
+        zeros = jnp.zeros((1, CX2, CY2), dtype)
+        dP2.append(
+            ev
+            + 0.5 * jnp.concatenate([zeros, odd], axis=0)
+            + 0.5 * jnp.concatenate([odd, zeros], axis=0)
+        )
     terms = tuple(sums[k] / cells for k in range(nterms))
-    return terms, (dt0, dcoarse, dparams)
+    return terms, (dt0, dt1, tuple(dP2), dparams)
 
 
 def rowwise_loss_terms_mg(

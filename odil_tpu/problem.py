@@ -94,7 +94,7 @@ class Problem:
         self._names = names
         return names, values
 
-    def _flatten_multigrid_batched(self, state, partial_out=None):
+    def _flatten_multigrid_batched(self, state, partial_out=None, partial_depth=1):
         """Flattens groups of identically-shaped MultigridFields to regular
         Fields with ONE batched interpolation ladder per group.
 
@@ -142,16 +142,24 @@ class Problem:
             loc_active = "." + "".join(l if ax else "." for l, ax in zip(f0.loc, axes))
             stacked = [mod.stack([f.terms[lvl].array for f in fs]) for lvl in range(nlvl)]
             if partial_out is not None and nlvl >= 2:
-                # Stop the Horner ladder at level 1; the fused kernel does
-                # the finest (full-size) step in VMEM.  (A level-batched
-                # composed-matrix contraction was measured SLOWER end to
-                # end -- 0.81 -> 0.88 ms/epoch on the flagship -- than this
-                # stepwise ladder of tiny ops; see BENCH_NOTES.md.)
+                # Stop the Horner ladder early; the fused kernel does the
+                # fused step(s) in VMEM.  depth 1: stop at level 1 (the
+                # kernel fuses the finest step); depth 2 (and nlvl >= 3):
+                # stop at level 2 (the kernel also fuses the level-1 step).
+                # (A level-batched composed-matrix contraction was measured
+                # SLOWER end to end than this stepwise ladder of tiny ops;
+                # see BENCH_NOTES.md.)
+                stop = 2 if (partial_depth >= 2 and nlvl >= 3) else 1
                 acc = stacked[-1] * factors[-1]
-                for arr, fac in zip(reversed(stacked[1:-1]), reversed(factors[1:-1])):
+                for arr, fac in zip(reversed(stacked[stop:-1]), reversed(factors[stop:-1])):
                     acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
                 for i, k in enumerate(keys):
-                    partial_out[k] = (stacked[0][i], factors[0], acc[i])
+                    if stop == 2:
+                        partial_out[k] = (
+                            stacked[0][i], factors[0], stacked[1][i], factors[1], acc[i]
+                        )
+                    else:
+                        partial_out[k] = (stacked[0][i], factors[0], acc[i])
                 continue
             acc = stacked[-1] * factors[-1]
             for arr, fac in zip(reversed(stacked[:-1]), reversed(factors[:-1])):
@@ -234,22 +242,45 @@ class Problem:
             tuple(v[0].shape for v in probe.values()), self.domain.dtype
         ):
             return None  # e.g. VMEM-fit gate for 512^2+ planes.
-        factors0 = {k: v[1] for k, v in probe.items()}
+        # Fusion depth: operators may fuse >1 Horner step (partial_depth
+        # attribute; callable variants decide per shapes/dtype).
+        depth = getattr(fused, "partial_depth", 1)
+        if callable(depth):
+            depth = depth(tuple(v[0].shape for v in probe.values()), self.domain.dtype)
+        if depth >= 2:
+            probe2 = {}
+            self._flatten_multigrid_batched(
+                self.state_from_arrays(arrays0), partial_out=probe2, partial_depth=2
+            )
+            probe = probe2
+        # Partial tuples alternate (traced array, static factor, ...):
+        # (t0, f0, P1) at depth 1, (t0, f0, t1, f1, P2) at depth 2.
+        statics = {k: tuple(v[1::2]) for k, v in probe.items()}
         mod = self.domain.mod
 
         def loss_grad_fn(arrays, tracers):
             def prologue(arrs):
                 partials = {}
                 self._flatten_multigrid_batched(
-                    self.state_from_arrays(arrs), partial_out=partials
+                    self.state_from_arrays(arrs), partial_out=partials,
+                    partial_depth=depth,
                 )
-                return {k: (v[0], v[2]) for k, v in partials.items()}
+                return {k: tuple(v[0::2]) for k, v in partials.items()}
 
             parts, vjp_pro = jax.vjp(prologue, arrays)
             state_v = self.state_from_arrays(arrays)
             ctx = Context(self.domain, state_v, extra=self.extra, tracers=tracers)
+
+            def interleave(traced, facs):
+                out = []
+                for i, a in enumerate(traced):
+                    out.append(a)
+                    if i < len(facs):
+                        out.append(facs[i])
+                return tuple(out)
+
             ctx.mg_partials = {
-                k: (t0, factors0[k], P) for k, (t0, P) in parts.items()
+                k: interleave(traced, statics[k]) for k, traced in parts.items()
             }
             terms, dparts = fused(ctx)
             loss = sum(terms)

@@ -721,3 +721,50 @@ def test_mg_tiled_matches_untiled():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
     for a, b in zip(dc_ref, dc_til):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
+
+
+def test_two_level_fusion_engaged_and_exact():
+    """When the whole-plane kernel fits, the fused path runs TWO Horner
+    levels in VMEM (partial_depth 2): the prologue's partial tuples carry
+    (t0, f0, t1, f1, P2), and the one-pass gradients still match autodiff
+    (covered at rtol 1e-6 by test_fused_loss_grad_matches_value_and_grad,
+    which runs through this same path)."""
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.models.veltracer import _mg_partial_depth
+
+    assert _mg_partial_depth(((9, 16, 16),) * 3, np.float32) == 2
+    assert _mg_partial_depth(((9, 512, 512),) * 3, np.float32) == 1  # tiled: 1 level
+
+    problem, state, extra = vt.build(nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True)
+    problem._capture_structure(state)
+    arrays = problem.domain.arrays_from_state(state)
+    probe = {}
+    problem._flatten_multigrid_batched(
+        problem.state_from_arrays(arrays), partial_out=probe, partial_depth=2
+    )
+    assert probe and all(len(v) == 5 for v in probe.values())
+    t0, f0, t1, f1, P2 = next(iter(probe.values()))
+    assert t0.shape[0] == 2 * (t1.shape[0] - 1) + 1
+    assert t1.shape[0] == 2 * (P2.shape[0] - 1) + 1
+
+
+def test_two_level_request_degrades_at_nlvl2():
+    """A two-level-capable operator on a 2-level hierarchy must fall back
+    to single-level partials and still match autodiff."""
+    from odil_tpu.models import veltracer as vt
+
+    problem, state, extra = vt.build(
+        nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True, mg_nlvl=2
+    )
+    loss_fn, arrays = problem.make_loss_fn(state)
+    rng = np.random.RandomState(9)
+    arrays = [jnp.asarray(rng.randn(*np.shape(a)).astype(np.float32) * 0.1) for a in arrays]
+    lg = problem.make_loss_grad_fn(state)
+    assert lg is not None
+    (l1, _), g1 = lg(arrays, {"epoch": 0})
+    (l0, _), g0 = jax.value_and_grad(loss_fn, has_aux=True)(arrays, {"epoch": 0})
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7 * np.max(np.abs(np.asarray(a)))
+        )
