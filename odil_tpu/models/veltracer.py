@@ -260,9 +260,13 @@ def _mg_loss_and_grads_supported(t0_shapes, dtype):
 
 
 def _mg_partial_depth(t0_shapes, dtype):
-    """Fuse TWO Horner levels when the whole-plane kernel fits VMEM (the
-    x-tiled fallback is single-level), one otherwise."""
-    return 2 if _mg_supported(t0_shapes, dtype) else 1
+    """Single-level fusion by default: two-level (the level-1 Horner step
+    also in VMEM) measured consistently ~4% SLOWER on the flagship bench
+    (1069/1077/1080 vs the 1094-1163 one-level band) -- the extra
+    in-kernel reconstruction costs more than the XLA-overlapped prologue
+    it removes.  The capability stays available (and tested) by returning
+    2 here."""
+    return 1
 
 
 _mg_loss_and_grads.supported = _mg_loss_and_grads_supported

@@ -723,17 +723,16 @@ def test_mg_tiled_matches_untiled():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6)
 
 
-def test_two_level_fusion_engaged_and_exact():
-    """When the whole-plane kernel fits, the fused path runs TWO Horner
-    levels in VMEM (partial_depth 2): the prologue's partial tuples carry
-    (t0, f0, t1, f1, P2), and the one-pass gradients still match autodiff
-    (covered at rtol 1e-6 by test_fused_loss_grad_matches_value_and_grad,
-    which runs through this same path)."""
+def test_two_level_fusion_exact_when_requested():
+    """Two-level fusion (partial_depth 2: the level-1 Horner step also in
+    VMEM) is off by default (measured ~4% slower on the flagship bench)
+    but must stay exact when an operator requests it: the prologue's
+    partial tuples carry (t0, f0, t1, f1, P2) and the one-pass gradients
+    match autodiff."""
     from odil_tpu.models import veltracer as vt
     from odil_tpu.models.veltracer import _mg_partial_depth
 
-    assert _mg_partial_depth(((9, 16, 16),) * 3, np.float32) == 2
-    assert _mg_partial_depth(((9, 512, 512),) * 3, np.float32) == 1  # tiled: 1 level
+    assert _mg_partial_depth(((9, 16, 16),) * 3, np.float32) == 1  # default off
 
     problem, state, extra = vt.build(nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True)
     problem._capture_structure(state)
@@ -746,6 +745,26 @@ def test_two_level_fusion_engaged_and_exact():
     t0, f0, t1, f1, P2 = next(iter(probe.values()))
     assert t0.shape[0] == 2 * (t1.shape[0] - 1) + 1
     assert t1.shape[0] == 2 * (P2.shape[0] - 1) + 1
+
+    # Force depth 2 through the full one-pass path and match autodiff.
+    old = vt._mg_loss_and_grads.partial_depth
+    try:
+        vt._mg_loss_and_grads.partial_depth = lambda *a: 2
+        loss_fn, arrays = problem.make_loss_fn(state)
+        rng = np.random.RandomState(13)
+        arrays = [jnp.asarray(rng.randn(*np.shape(a)).astype(np.float32) * 0.1) for a in arrays]
+        lg = problem.make_loss_grad_fn(state)
+        assert lg is not None
+        (l1, _), g1 = lg(arrays, {"epoch": 0})
+        (l0, _), g0 = jax.value_and_grad(loss_fn, has_aux=True)(arrays, {"epoch": 0})
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5,
+                atol=1e-6 * np.max(np.abs(np.asarray(a))),
+            )
+    finally:
+        vt._mg_loss_and_grads.partial_depth = old
 
 
 def test_two_level_request_degrades_at_nlvl2():
