@@ -61,15 +61,20 @@ def odil_newton_dense(u0, n, dt, iters=10):
     traj = jnp.tile(jnp.asarray(u0), (n, 1))
 
     @jax.jit
-    def step(tr):
+    def res_and_jac(tr):
         r = residual(tr, u0, dt).reshape(-1)
         J = jax.jacfwd(lambda t: residual(t.reshape(n, 2), u0, dt).reshape(-1))(tr.reshape(-1))
-        delta = jnp.linalg.solve(J, -r)
-        return tr + delta.reshape(n, 2), jnp.sum(r**2)
+        return r, J
 
     loss = None
     for _ in range(iters):
-        traj, loss = step(traj)
+        r, J = res_and_jac(traj)
+        # Dense f64 LU on the host: the TPU compiler implements
+        # LuDecomposition only for f32/c64, and this pedagogical dense
+        # Jacobian is exactly the thing the real framework never builds.
+        delta = np.linalg.solve(np.asarray(J), -np.asarray(r))
+        traj = traj + jnp.asarray(delta).reshape(n, 2)
+        loss = float(jnp.sum(r**2))
     return traj, float(loss)
 
 
@@ -99,8 +104,12 @@ def odil_gauss_newton_mf(u0, n, dt, iters=10):
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--n", type=int, default=200, help="Number of Euler steps")
-    parser.add_argument("--tmax", type=float, default=10.0)
+    # Defaults follow the reference's scale (examples/compare.py: n=25,
+    # dt=0.1): undamped global Newton from the flat initial guess diverges
+    # on much longer Van der Pol horizons (n=200 produced a singular
+    # Jacobian mid-iteration), which is itself part of the pedagogy.
+    parser.add_argument("--n", type=int, default=25, help="Number of Euler steps")
+    parser.add_argument("--tmax", type=float, default=2.5)
     args = parser.parse_args()
 
     n, dt = args.n, args.tmax / args.n

@@ -70,3 +70,20 @@ def test_heat_pinn_trains():
     icol = header.index("loss")
     losses = [float(r[icol]) for r in rows]
     assert losses[-1] < losses[0]
+
+
+def test_compare_pedagogy():
+    """examples/compare.py (framework-free Van der Pol): global Newton and
+    matrix-free GN must reproduce the Euler trajectory (the script asserts
+    and prints PASS).  Previously broken: its defaults had drifted to a
+    horizon where undamped global Newton diverges."""
+    import runpy
+
+    cwd = os.getcwd()
+    argv = sys.argv
+    try:
+        sys.argv = ["compare.py", "--n", "25", "--tmax", "2.5"]
+        runpy.run_path(os.path.join(ROOT, "examples", "compare.py"), run_name="__main__")
+    finally:
+        os.chdir(cwd)
+        sys.argv = argv
