@@ -18,11 +18,25 @@ the collective schedule is explicit.  Needs real multi-chip hardware for
 perf validation; correctness is tested on a virtual 8-device CPU mesh
 (tests/test_halo.py).
 
-Restrictions (validated at build time, clear errors):
-- every grid array must be evenly divisible along each partitioned axis
-  (staggered '+1 node' axes on a partitioned dimension are rejected);
+Node-located ('+1 node') axes along partitioned dimensions use a ghost-node
+convention: the global ``N+1`` nodes (``N`` divisible by the mesh axis) are
+re-laid-out as ``k`` overlapping blocks of ``N/k+1`` nodes before
+``shard_map`` -- adjacent devices duplicate their shared node.  The gather
+that builds the ghosted layout transposes to a scatter-add, so duplicated
+cotangents sum exactly; duplicated rows are masked out of every loss sum
+(the left device owns the shared node), and halo selection is corrected per
+device so the periodic wrap matches the reference's ``roll`` over ``N+1``
+(``src/odil/core.py:956-969``) bit-for-bit.
+
+Restrictions (validated at build/trace time, clear errors):
+- the cell count along each partitioned dimension must be divisible by the
+  mesh axis size;
 - no staggered-location conversion (``loc=`` retargeting) along partitioned
   axes -- use it freely on unsharded axes;
+- residual terms of grid rank must have the cell or node extent along every
+  partitioned dimension: operators that slice a term along a partitioned
+  dimension (e.g. a global ``[:-1]`` trim) are rejected at trace time, since
+  the trim would silently become per-device;
 - operators must read fields through ``ctx.field`` (the contract), not
   through raw global rolls, and must not return ``Context.Raw`` terms;
 - ``extra`` arrays whose shape matches trailing grid axes are sharded and
@@ -68,6 +82,26 @@ def _flatten_all_multigrid(problem, state):
     return State(fields=fields, initialized=True)
 
 
+def _ghost_nodes(a, plan, node_dims):
+    """Re-lays-out each axis in `node_dims` (a {array_dim: mesh_axis} map of
+    node-located partitioned axes with N+1 entries) into k overlapping blocks
+    of N/k+1 entries, duplicating the nodes shared by adjacent blocks.  The
+    ghosted global extent N+k divides the mesh axis evenly; the gather's
+    transpose is a scatter-add, so duplicated cotangents sum exactly."""
+    for j, axis in node_dims.items():
+        k = plan.axis_sizes[axis]
+        if k == 1:
+            continue
+        B = (a.shape[j] - 1) // k
+        blocks = []
+        for i in range(k):
+            idx = [slice(None)] * a.ndim
+            idx[j] = slice(i * B, i * B + B + 1)
+            blocks.append(a[tuple(idx)])
+        a = jnp.concatenate(blocks, axis=j)
+    return a
+
+
 class _HaloPlan:
     """Static plan built once per (problem, state): which dims are sharded,
     per-field halo widths, extra localization, term names."""
@@ -87,7 +121,19 @@ class _HaloPlan:
         }
         self.names, self.locs, self.widths, self.param_keys = self._discover(problem, state)
         self._validate(problem, state)
+        # Extra arrays with a node-sized partitioned axis need the same
+        # ghost-node re-layout as fields: {name: {array_dim: mesh_axis}}.
+        self.extra_node_dims = {}
         self.extra_specs = self._plan_extra(problem, extra_partition)
+
+    def field_node_dims(self, key):
+        """{array_dim: mesh_axis} of node-located partitioned axes of a
+        grid field (the axes needing the ghost-node re-layout)."""
+        return {
+            d: axis
+            for d, axis in self.dim_axis.items()
+            if self.locs[key][d] == "n"
+        }
 
     # -- Discovery -----------------------------------------------------------
 
@@ -149,18 +195,21 @@ class _HaloPlan:
             shape = tuple(np.shape(f.array))
             for d, axis in self.dim_axis.items():
                 k = self.axis_sizes[axis]
-                if shape[d] % k != 0:
+                # Node-located axes carry N+1 entries for N cells; the cell
+                # count must divide (ghost-node blocks of N/k+1 each).
+                cells = shape[d] - 1 if self.locs[key][d] == "n" else shape[d]
+                if cells % k != 0:
                     raise ValueError(
-                        f"halo mode: field '{key}' has size {shape[d]} along partitioned "
+                        f"halo mode: field '{key}' has {cells} cells along partitioned "
                         f"dimension '{domain.dimnames[d]}', not divisible by mesh axis "
                         f"'{axis}' ({k} devices); drop that axis from the partition"
                     )
                 lo, hi = self.widths[key][d]
-                if lo + hi >= shape[d] // k:
+                if lo + hi >= cells // k:
                     raise ValueError(
                         f"halo mode: stencil width ({lo}+{hi}) along "
                         f"'{domain.dimnames[d]}' exceeds the local block "
-                        f"({shape[d]}//{k}); use fewer devices on that axis"
+                        f"({cells}//{k}); use fewer devices on that axis"
                     )
 
     def _plan_extra(self, problem, extra_partition):
@@ -199,7 +248,8 @@ class _HaloPlan:
                     break
                 axis = self.dim_axis.get(d)
                 if axis is not None:
-                    if s % self.axis_sizes[axis] != 0:
+                    cells = s - 1 if s == domain.cshape[d] + 1 else s
+                    if cells % self.axis_sizes[axis] != 0:
                         raise ValueError(
                             f"halo mode: extra array '{name}' has size {s} along "
                             f"partitioned dimension '{domain.dimnames[d]}', not "
@@ -207,6 +257,8 @@ class _HaloPlan:
                             f"replicate it (the operator must then handle the "
                             f"global/local shape mismatch)"
                         )
+                    if s == domain.cshape[d] + 1:
+                        self.extra_node_dims.setdefault(name, {})[j] = axis
                     entries.append(axis)
                 else:
                     entries.append(None)
@@ -252,7 +304,15 @@ class _HaloContext:
 
     def _extend(self, key):
         """Returns the local block of `key` extended by its halo widths along
-        every partitioned dimension (one ppermute pair per dimension)."""
+        every partitioned dimension (one ppermute pair per dimension).
+
+        Cell axes: the neighbor's edge rows ARE the halo (the ring gives
+        periodic wrap for free).  Node axes (ghost-node blocks of B+1 rows,
+        adjacent blocks sharing one duplicated node): the slab is one row
+        wider and each receiver selects its h rows at a device-dependent
+        offset -- interior devices skip the duplicated shared node, while the
+        ring-wrap devices shift by one so the read reproduces the reference's
+        periodic roll over the N+1 global nodes."""
         if key in self._extended:
             return self._extended[key]
         a = self._grid[key]
@@ -261,26 +321,40 @@ class _HaloContext:
             if not (lo or hi):
                 continue
             k = self.plan.axis_sizes[axis]
+            node = self.plan.locs[key][d] == "n"
             parts = []
-            idx_lo = [slice(None)] * a.ndim
-            idx_hi = [slice(None)] * a.ndim
-            if lo:
-                idx_lo[d] = slice(a.shape[d] - lo, a.shape[d])
-                slab = a[tuple(idx_lo)]
+
+            def exchange(h, leading):
+                """Fetches an h-row halo slab from the previous (leading) or
+                next ring neighbor along `axis`."""
+                n = a.shape[d]
+                w = h + 1 if node else h
+                idx = [slice(None)] * a.ndim
+                idx[d] = slice(n - w, n) if leading else slice(0, w)
+                slab = a[tuple(idx)]
                 if k > 1:
+                    shift = 1 if leading else -1
                     slab = jax.lax.ppermute(
-                        slab, axis, perm=[(i, (i + 1) % k) for i in range(k)]
+                        slab, axis, perm=[(i, (i + shift) % k) for i in range(k)]
                     )
-                parts.append(slab)
+                if node:
+                    # Drop the duplicated shared node: interior receivers
+                    # take [0:h] (leading) / [1:h+1] (trailing); the wrapped
+                    # receiver (first/last device) shifts by one to match
+                    # periodic indexing modulo N+1.
+                    i = jax.lax.axis_index(axis)
+                    if leading:
+                        start = jnp.where(i == 0, 1, 0)
+                    else:
+                        start = jnp.where(i == k - 1, 0, 1)
+                    slab = jax.lax.dynamic_slice_in_dim(slab, start, h, axis=d)
+                return slab
+
+            if lo:
+                parts.append(exchange(lo, leading=True))
             parts.append(a)
             if hi:
-                idx_hi[d] = slice(0, hi)
-                slab = a[tuple(idx_hi)]
-                if k > 1:
-                    slab = jax.lax.ppermute(
-                        slab, axis, perm=[(i, (i - 1) % k) for i in range(k)]
-                    )
-                parts.append(slab)
+                parts.append(exchange(hi, leading=False))
             a = jnp.concatenate(parts, axis=d) if len(parts) > 1 else a
         self._extended[key] = a
         return a
@@ -356,11 +430,11 @@ class _HaloContext:
             return full
         k = self.plan.axis_sizes[axis]
         n = len(full)
-        if loc_d == "n" and n % k != 0:
-            raise ValueError(
-                f"halo mode: node-located indices/points along partitioned "
-                f"dimension '{self.domain.dimnames[d]}' do not shard evenly"
-            )
+        if loc_d == "n":
+            # Ghost-node blocks: device i holds nodes [i*B, i*B + B].
+            B = (n - 1) // k
+            offset = jax.lax.axis_index(axis) * B
+            return jax.lax.dynamic_slice(jnp.asarray(full), (offset,), (B + 1,))
         ln = n // k
         offset = jax.lax.axis_index(axis) * ln
         return jax.lax.dynamic_slice(jnp.asarray(full), (offset,), (ln,))
@@ -414,7 +488,11 @@ def make_halo_loss_fn(problem, state, extra_partition=None):
 
     extra = problem.extra
     extra_items = {} if extra is None else (vars(extra) if not isinstance(extra, dict) else extra)
-    extra_arrays = {k: jnp.asarray(v) for k, v in extra_items.items() if k in plan.extra_specs}
+    extra_arrays = {
+        k: _ghost_nodes(jnp.asarray(v), plan, plan.extra_node_dims.get(k, {}))
+        for k, v in extra_items.items()
+        if k in plan.extra_specs
+    }
 
     nterms = len(plan.names)
     # Parameter-field metadata (weight counts, NN transforms); arrays unused.
@@ -453,12 +531,54 @@ def make_halo_loss_fn(problem, state, extra_partition=None):
         ctx = _HaloContext(plan, grid, params, local_extra, tracers)
         _, values = problem._run_operator(ctx)
         terms = []
-        for v in values:
+        for ti, v in enumerate(values):
             if isinstance(v, Context.Raw):
                 raise ValueError("halo mode does not support Context.Raw terms")
-            local_sum = jnp.sum(jnp.square(v))
-            total = jax.lax.psum(local_sum, axis_names)
-            count = float(np.prod(np.shape(v))) * ndev
+            sq = jnp.square(v)
+            if jnp.ndim(v) == domain.ndim:
+                # Grid-rank term: per-dimension accounting.  Along each
+                # partitioned dimension the local extent must be the cell
+                # block B or the ghost-node block B+1 (anything else means
+                # the operator sliced the term along a partitioned dimension,
+                # which would silently become a per-device slice).  Duplicated
+                # shared-node rows are masked out (the left device owns the
+                # node), making the psum an exact global sum.
+                count = 1.0
+                for d in range(domain.ndim):
+                    s = v.shape[d]
+                    axis = plan.dim_axis.get(d)
+                    if axis is None:
+                        count *= s
+                        continue
+                    k = plan.axis_sizes[axis]
+                    B = domain.cshape[d] // k
+                    if s == B:
+                        count *= B * k
+                    elif s == B + 1:
+                        count *= B * k + 1
+                        if k > 1:
+                            m = (jnp.arange(s) > 0) | (jax.lax.axis_index(axis) == 0)
+                            mshape = [1] * domain.ndim
+                            mshape[d] = s
+                            sq = sq * m.reshape(mshape).astype(sq.dtype)
+                    else:
+                        raise ValueError(
+                            f"halo mode: term {ti} ('{plan.names[ti]}') has local "
+                            f"extent {s} along partitioned dimension "
+                            f"'{domain.dimnames[d]}' (expected the cell block {B} "
+                            f"or node block {B + 1}); operators must not slice "
+                            f"terms along partitioned dimensions"
+                        )
+                # Mesh axes that partition no term dimension replicate it.
+                used = {plan.dim_axis[d] for d in range(domain.ndim) if d in plan.dim_axis}
+                for axis, k in plan.axis_sizes.items():
+                    if axis not in used:
+                        count *= k
+            else:
+                # Non-grid term (scalar penalty, parameter regularizer):
+                # replicated on every device.
+                count = float(np.prod(np.shape(v))) * ndev
+            total = jax.lax.psum(jnp.sum(sq), axis_names)
             terms.append(total / count)
         loss = sum(terms)
         norms = [jnp.sqrt(t) for t in terms]
@@ -471,7 +591,10 @@ def make_halo_loss_fn(problem, state, extra_partition=None):
 
     def loss_fn(arrays, tracers):
         st = _flatten_all_multigrid(problem, problem.state_from_arrays(arrays))
-        grid = {k: st.fields[k].array for k in grid_keys}
+        grid = {
+            k: _ghost_nodes(st.fields[k].array, plan, plan.field_node_dims(k))
+            for k in grid_keys
+        }
         params_flat = [a for k in plan.param_keys for a in field_arrays(st.fields[k])]
         sharded = _shard_map(
             local_eval,

@@ -84,13 +84,17 @@ def auto_partition(domain_dimnames, mesh):
 
 
 def shard_state_arrays(domain, arrays):
-    """Re-places grid-shaped arrays in `arrays` with the domain sharding."""
-    sharding = domain.field_sharding()
-    if sharding is None:
+    """Re-places grid-shaped arrays in `arrays` with the domain sharding.
+
+    Per-array shapes matter: staggered '+1 node' axes and coarse multigrid
+    levels that do not divide the mesh axis are replicated along that axis
+    (Domain.field_sharding handles the per-shape downgrade)."""
+    if domain.mesh is None or not domain.partition:
         return arrays
     out = []
     for a in arrays:
         if a.ndim == domain.ndim:
+            sharding = domain.field_sharding(shape=tuple(a.shape))
             out.append(jax.device_put(a, sharding))
         else:
             out.append(a)

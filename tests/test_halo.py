@@ -94,7 +94,64 @@ def test_halo_veltracer_multigrid():
     _compare_loss_and_grads(problem, state, rtol=1e-9, atol=1e-10)
 
 
-def test_halo_rejects_node_field_on_partitioned_axis():
+def test_halo_veltracer_multigrid_t_partition():
+    """The flagship partitioned over the TIME axis (node-located, the
+    long-axis/sequence-parallel analogue, SURVEY.md §5) and x: ghost-node
+    blocks for every 'ncc' field, multigrid on."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("t:4,x:2")
+    problem, state, extra = vt.build(
+        nt=16,
+        nx=16,
+        ny=16,
+        kernel="xla",
+        multigrid=True,
+        dtype=np.float64,
+        mesh=mesh,
+        partition={"t": "t", "x": "x"},
+    )
+    _compare_loss_and_grads(problem, state, rtol=1e-12, atol=1e-12)
+
+
+def test_halo_node_field_on_partitioned_axis():
+    """Node-located ('+1 node') axes partition via the ghost-node layout:
+    stencil reads INCLUDING the periodic wrap (roll modulo N+1, which the
+    ring must correct for by one node) match GSPMD, with no boundary
+    masking in the operator."""
+    mesh = parallel.mesh_from_spec("x:4,y:2")
+    N = 16
+    rnd = np.random.RandomState(3)
+    coef = rnd.rand(N + 1, N)
+
+    def make(mesh=None, partition=None):
+        domain = odil.Domain(
+            cshape=(N, N), dimnames=["x", "y"], dtype=np.float64,
+            mesh=mesh, partition=partition,
+        )
+
+        def operator(ctx):
+            u = ctx.field("u")
+            uxm = ctx.field("u", -1, 0)
+            uxp = ctx.field("u", 1, 0)
+            uxp2 = ctx.field("u", 2, 0)
+            return [u * ctx.extra.coef - 1.0, uxp - uxm, uxp2 * 0.25]
+
+        extra = argparse.Namespace(coef=domain.cast(coef))
+        state = domain.init_state(
+            odil.State(fields={"u": odil.Field(rnd.rand(N + 1, N), loc="nc")})
+        )
+        # Identical initial field for both paths.
+        state.fields["u"].array = domain.cast(coef * 2.0 - 0.5)
+        return odil.Problem(operator, domain, extra), state
+
+    problem, state = make(mesh=mesh, partition={"x": "x", "y": "y"})
+    _compare_loss_and_grads(problem, state)
+
+
+def test_halo_rejects_term_sliced_along_partitioned_axis():
+    """A global trim like field(...)[:-1] would silently become a per-device
+    trim inside shard_map; the trace-time shape validation rejects it."""
     mesh = parallel.mesh_from_spec("x:2")
     N = 16
     domain = odil.Domain(
@@ -102,14 +159,15 @@ def test_halo_rejects_node_field_on_partitioned_axis():
     )
 
     def operator(ctx):
-        return [ctx.field("u")]
+        return [ctx.field("u")[:-1, :]]
 
-    state = domain.init_state(odil.State(fields={"u": odil.Field(None, loc="nn")}))
+    state = domain.init_state(odil.State(fields={"u": np.zeros((N, N))}))
     problem = odil.Problem(operator, domain, None)
     from odil_tpu.halo import make_halo_loss_fn
 
-    with pytest.raises(ValueError, match="not divisible"):
-        make_halo_loss_fn(problem, state)
+    loss_fn, arrays = make_halo_loss_fn(problem, state)
+    with pytest.raises(ValueError, match="must not slice"):
+        jax.eval_shape(loss_fn, arrays, problem.tracers)
 
 
 def test_halo_rejects_raw_terms():
