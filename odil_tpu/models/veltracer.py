@@ -111,7 +111,13 @@ def _make_row_fn(mod, dt, dx, dy, kimp, kxreg, ktreg):
         um = mod.where(it == 1, u0, uprev)
         fu = (ucur - um) / dt + vxc * du_x / dx + vyc * du_y / dy
         fu = mod.where(it == 0, (ucur - u0) / dx, fu)
-        fimp = mod.where(it == T - 1, (ucur - u1) / dx, 0.0) * kimp
+        # Imposed-final row: the reference masks at it == cshape_t - 1 ==
+        # T - 2 (its `nt` is the CELL count while `it` runs over T nodes,
+        # examples/velocity_from_tracer/veltracer.py:41,112) -- not the last
+        # node.  Zero-state checks cannot distinguish the two (the term
+        # value is identical wherever the row lands when u == 0), so this
+        # must match positionally.
+        fimp = mod.where(it == T - 2, (ucur - u1) / dx, 0.0) * kimp
         res = [fu, fimp]
 
         def laplace(q):
@@ -145,7 +151,7 @@ def operator_fused(ctx):
     vy = ctx.field("vy")
     nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
     terms = rowwise_loss_terms(
-        row_fn, (u, vx, vy), consts=(extra.u_init, extra.u_final), nterms=nterms, hist=1
+        row_fn, (u, vx, vy), consts=(extra.u_init, extra.u_final), nterms=nterms, hist=1, halox=1
     )
     return [Context.Raw(t) for t in terms]
 
@@ -265,8 +271,13 @@ def _mg_partial_depth(t0_shapes, dtype):
     (1069/1077/1080 vs the 1094-1163 one-level band) -- the extra
     in-kernel reconstruction costs more than the XLA-overlapped prologue
     it removes.  The capability stays available (and tested) by returning
-    2 here."""
-    return 1
+    2 here -- but ONLY when the whole-plane kernel fits VMEM: the depth-2
+    branch has no tiled fallback, so beyond-VMEM planes must stay at
+    depth 1 (the tiled kernel) instead of dying in the Mosaic compiler."""
+    depth = 1  # Flip to 2 to re-enable two-level fusion.
+    if depth >= 2 and not _mg_supported(t0_shapes, dtype):
+        return 1
+    return depth
 
 
 _mg_loss_and_grads.supported = _mg_loss_and_grads_supported

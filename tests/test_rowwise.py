@@ -787,3 +787,44 @@ def test_two_level_request_degrades_at_nlvl2():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7 * np.max(np.abs(np.asarray(a)))
         )
+
+
+@pytest.mark.parametrize(
+    "model,kernel,kw",
+    [
+        ("veltracer", "pallas", dict(nt=16, nx=16, ny=16, multigrid=False)),
+        ("veltracer", "pallas_mg", dict(nt=16, nx=16, ny=16, multigrid=True)),
+        ("heat", "pallas", dict(nt=16, nx=16, multigrid=False, infer_k=True,
+                                imposed="random", nimp=20, kxreg=0.01, ktreg=0.01)),
+        ("wave", "pallas", dict(nt=16, nx=16, multigrid=False)),
+    ],
+)
+def test_kernel_operator_random_state_parity(model, kernel, kw):
+    """Fused-kernel operators must match the XLA operators on RANDOM states
+    (loss, every term, every gradient).  Zero-state comparisons are blind to
+    row-placement bugs: a boundary term masked at the wrong row has the
+    same value when the field is uniform (this caught the fused veltracer
+    imposing the final tracer at node T-1 instead of the reference's
+    T-2, examples/velocity_from_tracer/veltracer.py:41,112)."""
+    import importlib
+
+    mod = importlib.import_module(f"odil_tpu.models.{model}")
+    runs = {}
+    for k in ("xla", kernel):
+        problem, state, _ = mod.build(kernel=k, dtype=np.float32, **kw)
+        rnd = np.random.RandomState(5)
+        arrays = problem.domain.arrays_from_state(state)
+        arrays = [problem.domain.cast(0.1 * rnd.standard_normal(np.shape(a))) for a in arrays]
+        problem.domain.arrays_to_state(arrays, state)
+        loss, grads, terms, names, norms = problem.eval_loss_grad(state)
+        runs[k] = (
+            float(np.asarray(loss)),
+            [np.asarray(t) for t in terms],
+            [np.asarray(g) for g in grads],
+        )
+    (l0, t0, g0), (l1, t1, g1) = runs["xla"], runs[kernel]
+    np.testing.assert_allclose(l0, l1, rtol=1e-5)
+    for a, b in zip(t0, t1):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.max(np.abs(a))))
