@@ -28,10 +28,18 @@ def _normal_equations(matr, rhs, args):
 
 
 def solve(matr, rhs, args, status=None, linsolver="direct"):
-    """Solves the least-squares system `matr x ~= rhs`; returns x (numpy)."""
+    """Solves the least-squares system `matr x ~= rhs`; returns x (numpy).
+
+    The solve always runs in float64: it is host-side regardless, and the
+    iterative methods (bicgstab especially) diverge on float32 normal
+    equations of ill-conditioned Jacobians.  Callers cast the update back
+    to the working dtype."""
     import scipy.sparse
     import scipy.sparse.linalg as spla
 
+    if matr.dtype != np.float64:
+        matr = matr.astype(np.float64)
+    rhs = np.asarray(rhs, dtype=np.float64)
     if status is None:
         status = dict()
     if args.linsolver_maxiter is None:
@@ -124,6 +132,9 @@ def add_arguments(parser):
     add("--linsolver_damp", type=float, default=0, help="Levenberg damping (0: none)")
     add("--linsolver_dampdiag", type=float, default=0, help="Diagonal damping multiplier (0: none)")
     add("--linsolver_verbose", type=int, default=0, help="Verbosity of linsolver messages")
+    add("--linsolver_precond_every", type=int, default=0,
+        help="gn: rebuild the multilevel preconditioner every N epochs "
+        "(0: auto -- rebuild when the loss reduction stalls)")
     add("--linsolver_history", type=int, default=0, help="Dump linsolver status to history")
     add("--lr", type=float, default=1e-3, help="Learning rate")
     add("--nlvl", type=int, default=100, help="Multigrid levels")

@@ -250,7 +250,7 @@ def operator_odil_fused(ctx):
     if args.ktreg:
         names.append("treg")
     terms = rowwise_loss_terms(
-        row_fn, (u,), params=k_params, data=data, consts=consts, nterms=len(names), hist=1
+        row_fn, (u,), params=k_params, data=data, consts=consts, nterms=len(names), hist=1, halox=1
     )
     res = [(name, Context.Raw(t)) for name, t in zip(names, terms)]
 

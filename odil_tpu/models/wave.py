@@ -106,6 +106,7 @@ def operator_fused(ctx):
         consts=(extra.init_u, extra.init_ut, ix),
         nterms=1,
         hist=2,
+        halox=1,
     )
     return [("fu", Context.Raw(term))]
 

@@ -827,9 +827,15 @@ def rowwise_loss_terms(
     interpret=None,
     block_rows=None,
     stream=False,
-    halox=1,
+    halox=None,
 ):
     """Per-term mean-squared losses through the fused kernel.
+
+    halox: the row function's stencil reach along the leading plane (x)
+    axis, declared by the caller.  Routing to the x-tiled kernel for
+    beyond-VMEM planes needs it (the tiles overlap by halox rows); when
+    left None the reach is unknown, so oversized planes take the exact
+    XLA fallback instead of risking a too-narrow tile halo.
 
     Equivalent to ``[mean(residual_k**2)]`` with residuals over the full
     (T, *plane) grid.  1-D planes are padded to 2-D internally to satisfy
@@ -853,6 +859,7 @@ def rowwise_loss_terms(
         if not _on_tpu() or vmem > 14 * 1024 * 1024 or fields[0].dtype.itemsize > 4:
             if (
                 _on_tpu()
+                and halox is not None
                 and fields[0].dtype.itemsize <= 4
                 and fields[0].ndim == 3
                 and all(d.ndim == 3 for d in data)

@@ -174,7 +174,12 @@ class Problem:
         """Pure function: (arrays, tracers) -> (loss, terms, norms).
 
         terms[i] = mean(residual_i^2) (or the raw mean for Context.Raw);
-        norms[i] = sqrt(terms[i]) (or the raw term itself)."""
+        norms[i] = sqrt(terms[i]) uniformly.  The reference reports Raw
+        terms un-rooted (``src/odil/core.py:1095``), but no reference
+        example uses Raw; here Raw terms are the fused kernels'
+        mean-squared residuals, so one sqrt convention keeps the reported
+        residual norms identical between the fused in-loop epochs and the
+        epoch_start callback (clamped at 0 for negative raw terms)."""
         mod = self.domain.mod
         partials = {} if self.mg_partial else None
         state = self._flatten_multigrid_batched(self.state_from_arrays(arrays), partial_out=partials)
@@ -183,7 +188,7 @@ class Problem:
         _, values = self._run_operator(ctx)
         terms = [mod.mean(v.value) if isinstance(v, Context.Raw) else mod.mean(mod.square(v)) for v in values]
         loss = sum(terms)
-        norms = [t if isinstance(v, Context.Raw) else mod.sqrt(t) for t, v in zip(terms, values)]
+        norms = [mod.sqrt(mod.maximum(t, 0)) for t in terms]
         return loss, terms, norms
 
     def make_loss_fn(self, state, halo=False):
@@ -515,15 +520,27 @@ class Problem:
             parts = mod.xp.split(x, bounds)
             return [mod.reshape(p, s) for p, s in zip(parts, shapes)]
 
-        def f(x):
+        meta = {}
+
+        def f_values(x):
             arrays = unpack(x)
             st = self._flatten_multigrid_batched(self.state_from_arrays(arrays))
             ctx = Context(domain, st, extra=self.extra, tracers=self.tracers)
-            _, values = self._run_operator(ctx)
-            values = [v.value if isinstance(v, Context.Raw) else v for v in values]
-            return mod.concatenate([mod.flatten(v) for v in values], axis=0)
+            names, values = self._run_operator(ctx)
+            meta["names"] = list(names)
+            return [v.value if isinstance(v, Context.Raw) else v for v in values]
+
+        def f(x):
+            return mod.concatenate([mod.flatten(v) for v in f_values(x)], axis=0)
 
         x0 = mod.concatenate([mod.flatten(a) for a in arrays0], axis=0)
+        # Term metadata (names, flat sizes) for callers that report per-term
+        # residual norms straight from f(x) slices -- lets the Gauss-Newton
+        # driver reuse the step's own residual instead of a second
+        # eval_loss_grad pass per epoch.
+        term_shapes = jax.eval_shape(f_values, jax.ShapeDtypeStruct(x0.shape, x0.dtype))
+        f.term_names = meta["names"]
+        f.term_sizes = [int(math.prod(s.shape)) for s in term_shapes]
         return f, x0
 
     def get_context(self, state):
