@@ -8,30 +8,41 @@ API-compatible with the reference plot module (``src/odil/plot.py``):
 - ``plot_2d(domain, exact_uu, pred_uu, slices_it, slices_t, path, ...)``:
   a 2xN grid of time slices of 3D (t, x, y) fields.
 
-The reference bundles four hand-rolled colormaps; standard matplotlib maps
-are used here and unknown names fall back to viridis.
+The reference's four hand-rolled colormaps (rainbow/coolwarm/yellow/geo,
+its ``plot.py:207-513``) are reproduced exactly from their node tables
+(``_cmapdata.py``) so published figures compare pixel-for-pixel; other
+names resolve to matplotlib, unknown ones fall back to viridis.
 """
 
+import matplotlib
 import matplotlib.pyplot as plt
 import numpy as np
 
-__all__ = ["plot_1d", "plot_2d"]
+from ._cmapdata import CMAP_NODES
+
+__all__ = ["plot_1d", "plot_2d", "get_cmap", "g_colormap_names"]
+
+# Reference-parity name list (src/odil/plot.py:207-212).
+g_colormap_names = list(CMAP_NODES)
 
 
-# The reference bundles four hand-rolled colormaps (its plot.py:207-513);
-# map their names to the closest standard matplotlib maps.
-_CMAP_ALIASES = {
-    "rainbow": "turbo",
-    "yellow": "YlOrBr",
-    "geo": "terrain",
-    "orange": "Oranges",
-}
+def get_cmap(name):
+    """The reference's colormap constructor for its bundled maps
+    (``src/odil/plot.py:507-513``): piecewise-linear through the node
+    table."""
+    rows = CMAP_NODES[name]
+    nodes = [r[0] for r in rows]
+    colors = [r[1:] for r in rows]
+    return matplotlib.colors.LinearSegmentedColormap.from_list(
+        name, list(zip(nodes, colors))
+    )
 
 
 def _resolve_cmap(cmap):
     if cmap is None:
         return "viridis"
-    cmap = _CMAP_ALIASES.get(cmap, cmap)
+    if isinstance(cmap, str) and cmap in CMAP_NODES:
+        return get_cmap(cmap)
     try:
         plt.get_cmap(cmap)
         return cmap
