@@ -56,6 +56,9 @@ class Context:
         self.bindings = bindings
         # Filled by Problem when mg_partial=True: key -> (term0, factor0, P).
         self.mg_partials = {}
+        # Recorded ctx.rowwise_terms calls: halo.py's plan discovery reads
+        # these to size the per-shard halo exchanges of kernel operators.
+        self.rowwise_calls = []
         # Descriptor (key, shift, loc) -> resolved sample array.
         self.desc_to_array = dict()
         # Descriptors needing a full Jacobian (Array / NeuralNet unknowns).
@@ -136,6 +139,62 @@ class Context:
                 self.watch_func(array)
             self.desc_to_array[desc] = array
         return mod.stop_gradient(array) if frozen else array
+
+    def rowwise_terms(
+        self,
+        row_fn,
+        keys,
+        params=(),
+        data=(),
+        consts=(),
+        nterms=1,
+        hist=1,
+        halox=1,
+        interpret=None,
+        block_rows=None,
+        stream=False,
+    ):
+        """Per-term mean-squared losses of ``row_fn`` over the named grid
+        fields through the fused row-wise Pallas kernel (ops/rowwise.py),
+        returned as a list of ``Context.Raw`` terms.
+
+        This is the Context *service* form of ``rowwise_loss_terms``: under
+        the default evaluation it is exactly ``rowwise_loss_terms(row_fn,
+        [ctx.field(k) for k in keys], ...)``, but in halo/shard_map
+        evaluation (``--halo``, odil_tpu/halo.py) the same operator code runs
+        the kernel per device shard on halo-extended local blocks with the
+        residuals of halo/duplicated rows masked out of the loss sums --
+        declare ``hist`` (backward history reach along the leading/time
+        axis) and ``halox`` (stencil reach along partitioned plane axes)
+        honestly, they size the exchanges."""
+        fields = tuple(self.field(k) for k in keys)
+        self.rowwise_calls.append(
+            {"keys": tuple(keys), "hist": hist, "halox": halox, "nterms": nterms}
+        )
+        from .ops.rowwise import rowwise_loss_terms
+
+        terms = rowwise_loss_terms(
+            row_fn,
+            fields,
+            params=params,
+            data=data,
+            consts=consts,
+            nterms=nterms,
+            hist=hist,
+            halox=halox,
+            interpret=interpret,
+            block_rows=block_rows,
+            stream=stream,
+        )
+        out = []
+        for t in terms:
+            r = Context.Raw(t)
+            # Marks the term as kernel-produced: halo.py accepts these
+            # (it reroutes the call to the sharded kernel), while hand-made
+            # Raw means stay rejected there.
+            r.from_rowwise = True
+            out.append(r)
+        return out
 
     def neural_net(self, key, frozen=False):
         field = self.state.fields[key]

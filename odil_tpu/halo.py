@@ -38,10 +38,26 @@ Restrictions (validated at build/trace time, clear errors):
   dimension (e.g. a global ``[:-1]`` trim) are rejected at trace time, since
   the trim would silently become per-device;
 - operators must read fields through ``ctx.field`` (the contract), not
-  through raw global rolls, and must not return ``Context.Raw`` terms;
+  through raw global rolls, and must not return hand-made ``Context.Raw``
+  terms (local means cannot be combined across devices).  Fused-kernel
+  operators compose via ``ctx.rowwise_terms``: the kernel then runs *per
+  device shard* on halo-extended local blocks -- the same widened exchange,
+  with halo/duplicated rows masked out of the kernel's loss sums and the
+  per-device sums combined by ``psum`` against the global residual count
+  (``_HaloContext.rowwise_terms``).  Restrictions there: the last (lane)
+  plane axis must stay unpartitioned, partitioned plane axes must be
+  cell-located, and per-row ``data`` arrays are not yet supported;
 - ``extra`` arrays whose shape matches trailing grid axes are sharded and
   localized automatically (e.g. veltracer's ``u_init`` of shape (Nx, Ny));
   pass ``extra_partition={'name': ('x','y') | None}`` to override.
+
+Multigrid ladders run INSIDE shard_map by default (``mg_ladder='local'``):
+the finest level is sharded like the flattened field, coarser levels (each
+<= 1/2^d of the fine size) are replicated, and each device prolongs only
+the coarse window feeding its fine block through dynamically sliced dense
+interp matrices -- zero ladder communication, versus the GSPMD-partitioned
+prologue of ``mg_ladder='global'`` whose per-axis interp matmuls contract
+over partitioned dimensions.
 """
 
 import jax
@@ -102,6 +118,155 @@ def _ghost_nodes(a, plan, node_dims):
     return a
 
 
+def _mg_ladder_meta(domain, plan, key, mgfield):
+    """Static metadata for running the multigrid Horner ladder *locally*
+    inside shard_map (VERDICT r1 item 2a): the finest level is sharded like
+    the flattened field, coarser levels (each <= 1/2^d of the fine size) are
+    replicated, and each device prolongs only the coarse *window* feeding
+    its fine block -- dynamically sliced dense per-axis interp matrices
+    (static window sizes, device-dependent starts), zero communication.
+
+    Returns a dict with, per level: array shapes, per-dim static window
+    sizes (or None = whole axis), factors, and per-(level, dim) dense interp
+    matrices (numpy; the matmul form of transfer.interp_to_finer, which is
+    the TPU default and numerically identical to the slice form)."""
+    from .transfer import _interp_matrix
+
+    factors = mgfield.factors or domain.mg_factors or [1] * len(mgfield.terms)
+    axes = mgfield.axes or domain.mg_axes
+    method = mgfield.method or domain.mg_interp
+    loc = mgfield.loc
+    ndim = domain.ndim
+    shapes = [tuple(t.array.shape) for t in mgfield.terms]
+    nlvl = len(shapes)
+    active = [bool(ax) and loc[d] != "." for d, ax in enumerate(axes)]
+
+    # Static window sizes per level per dim.  Level 0 = the local block
+    # (ghost-node block B+1 on node axes); each coarser active level needs
+    # the interp support of the finer window: floor(size/2) + 3 covers the
+    # 2-point linear stencil plus the boundary-extrapolation rows.  None
+    # means the whole axis (replicated levels are full arrays anyway).
+    sizes = []
+    s0 = []
+    for d in range(ndim):
+        if d in plan.dim_axis:
+            k = plan.axis_sizes[plan.dim_axis[d]]
+            B = domain.cshape[d] // k
+            s0.append(B + (1 if loc[d] == "n" else 0))
+        else:
+            s0.append(None)
+    sizes.append(tuple(s0))
+    for lvl in range(1, nlvl):
+        prev = sizes[-1]
+        cur = []
+        for d in range(ndim):
+            if prev[d] is None:
+                cur.append(None)
+            elif active[d]:
+                w = prev[d] // 2 + 3
+                cur.append(None if w >= shapes[lvl][d] else w)
+            else:
+                cur.append(None if prev[d] >= shapes[lvl][d] else prev[d])
+        sizes.append(tuple(cur))
+
+    # Dense per-axis interp matrices M[lvl][d]: level lvl+1 -> lvl.
+    mats = []
+    dtype = np.dtype(domain.dtype)
+    for lvl in range(nlvl - 1):
+        row = {}
+        for d in range(ndim):
+            if active[d]:
+                row[d] = _interp_matrix(shapes[lvl + 1][d], loc[d], dtype)
+        mats.append(row)
+    return {
+        "factors": [float(f) for f in factors],
+        "loc": loc,
+        "active": active,
+        "method": method,
+        "shapes": shapes,
+        "sizes": sizes,
+        "mats": mats,
+    }
+
+
+def _local_mg_block(plan, meta, levels):
+    """Evaluates the Horner ladder ``u = s0 + I(s1 + I(s2 + ...))`` for one
+    device's fine block inside shard_map.  ``levels[0]`` is the local
+    (ghost-noded) block of the finest term; ``levels[1:]`` are the full
+    replicated coarser terms.  Windows along partitioned dims are selected
+    with ``dynamic_slice`` (static sizes from the meta, device-dependent
+    starts); active unpartitioned dims use the full interp matrix."""
+    from .transfer import _interp_axis_matmul
+
+    domain = plan.domain
+    ndim = domain.ndim
+    nlvl = len(levels)
+    shapes, sizes, mats = meta["shapes"], meta["sizes"], meta["mats"]
+    active, factors = meta["active"], meta["factors"]
+    xp = jnp
+
+    # Device-dependent window starts per level per partitioned dim.
+    starts = []
+    s0 = {}
+    for d, axis in plan.dim_axis.items():
+        k = plan.axis_sizes[axis]
+        B = domain.cshape[d] // k
+        s0[d] = jax.lax.axis_index(axis) * B
+    starts.append(s0)
+    for lvl in range(1, nlvl):
+        prev, cur = starts[-1], {}
+        for d in plan.dim_axis:
+            w = sizes[lvl][d]
+            if w is None:
+                cur[d] = jnp.int32(0)
+            elif active[d]:
+                ideal = prev[d] // 2 - 1
+                cur[d] = jnp.clip(ideal, 0, shapes[lvl][d] - w)
+            else:
+                cur[d] = prev[d]
+        starts.append(cur)
+
+    def window(a, lvl):
+        """Slices the replicated level array to this device's window."""
+        start = [jnp.int32(0)] * ndim
+        size = list(a.shape)
+        needs = False
+        for d in plan.dim_axis:
+            w = sizes[lvl][d]
+            if w is not None:
+                start[d] = starts[lvl][d]
+                size[d] = w
+                needs = True
+        if not needs:
+            return a
+        return jax.lax.dynamic_slice(a, start, size)
+
+    acc = window(levels[-1], nlvl - 1) * factors[nlvl - 1]
+    for lvl in range(nlvl - 2, -1, -1):
+        # Prolong acc (level lvl+1 window) into the level-lvl window.
+        for d in range(ndim):
+            if not active[d]:
+                continue
+            M = mats[lvl][d]  # (n_lvl, n_lvl+1) dense, numpy constant
+            w_out, w_in = sizes[lvl][d], sizes[lvl + 1][d]
+            if d in plan.dim_axis and (w_out is not None or w_in is not None):
+                r0 = starts[lvl][d] if w_out is not None else jnp.int32(0)
+                c0 = starts[lvl + 1][d] if w_in is not None else jnp.int32(0)
+                Msub = jax.lax.dynamic_slice(
+                    jnp.asarray(M, acc.dtype),
+                    (r0, c0),
+                    (w_out if w_out is not None else M.shape[0],
+                     w_in if w_in is not None else M.shape[1]),
+                )
+                moved = jnp.moveaxis(acc, d, -1)
+                acc = jnp.moveaxis(moved @ Msub.T, -1, d)
+            else:
+                acc = _interp_axis_matmul(acc, d, meta["loc"][d], xp)
+        lv = levels[lvl] if lvl == 0 else window(levels[lvl], lvl)
+        acc = lv * factors[lvl] + acc
+    return acc
+
+
 class _HaloPlan:
     """Static plan built once per (problem, state): which dims are sharded,
     per-field halo widths, extra localization, term names."""
@@ -141,7 +306,7 @@ class _HaloPlan:
         """Abstractly traces the operator once to learn every (key, shift,
         loc) stencil read, the parameter unknowns, and the term names."""
         domain = problem.domain
-        descs, raws, names_out = [], [], []
+        descs, raws, names_out, rowwise_calls = [], [], [], []
 
         def probe(arrays, tracers):
             st = _flatten_all_multigrid(problem, problem.state_from_arrays(arrays))
@@ -149,7 +314,14 @@ class _HaloPlan:
             names, values = problem._run_operator(ctx)
             descs.extend(ctx.desc_to_array.keys())
             descs.extend((k, None, None) for k in ctx.key_to_array_jac.keys())
-            raws.extend(isinstance(v, Context.Raw) for v in values)
+            # Raw terms are allowed only when kernel-produced (via
+            # ctx.rowwise_terms, rerouted to the per-shard kernel here);
+            # hand-made Raw means cannot be combined across devices.
+            raws.extend(
+                isinstance(v, Context.Raw) and not getattr(v, "from_rowwise", False)
+                for v in values
+            )
+            rowwise_calls.extend(ctx.rowwise_calls)
             names_out.extend(names)
             return 0.0
 
@@ -158,9 +330,11 @@ class _HaloPlan:
         jax.eval_shape(probe, arrays0, problem.tracers)
         if any(raws):
             raise ValueError(
-                "halo mode does not support Context.Raw terms (fused-kernel "
-                "operators); use the plain XLA operator (kernel='xla')"
+                "halo mode does not support hand-made Context.Raw terms; "
+                "evaluate fused kernels through ctx.rowwise_terms (sharded "
+                "automatically) or use the plain XLA operator (kernel='xla')"
             )
+        self.rowwise_calls = rowwise_calls
 
         st = _flatten_all_multigrid(problem, state)
         locs, widths, param_keys = {}, {}, []
@@ -184,6 +358,35 @@ class _HaloPlan:
                         )
                     widths[key][d][0] = max(widths[key][d][0], max(0, -s))
                     widths[key][d][1] = max(widths[key][d][1], max(0, s))
+        # Kernel operators (ctx.rowwise_terms): the declared reaches size the
+        # exchanges -- `hist` backward rows along the leading/time axis,
+        # `halox` both ways along partitioned plane axes.
+        for call in rowwise_calls:
+            for key in call["keys"]:
+                if key not in widths:
+                    raise ValueError(
+                        f"halo mode: rowwise_terms key '{key}' is not a grid field"
+                    )
+                floc = locs[key]
+                for d in range(domain.ndim):
+                    if d not in self.dim_axis:
+                        continue
+                    if d == 0:
+                        widths[key][0][0] = max(widths[key][0][0], call["hist"])
+                        continue
+                    if d == domain.ndim - 1:
+                        raise ValueError(
+                            "halo mode: kernel operators (ctx.rowwise_terms) "
+                            "cannot partition the last (lane) plane axis; "
+                            "partition the leading axes instead"
+                        )
+                    if floc[d] != "c":
+                        raise ValueError(
+                            "halo mode: kernel operators require cell-located "
+                            "plane axes along partitioned dimensions"
+                        )
+                    widths[key][d][0] = max(widths[key][d][0], call["halox"])
+                    widths[key][d][1] = max(widths[key][d][1], call["halox"])
         return names_out, locs, widths, param_keys
 
     def _validate(self, problem, state):
@@ -415,6 +618,136 @@ class _HaloContext:
             self._cache[desc] = array
         return mod.stop_gradient(array) if frozen else array
 
+    def rowwise_terms(
+        self,
+        row_fn,
+        keys,
+        params=(),
+        data=(),
+        consts=(),
+        nterms=1,
+        hist=1,
+        halox=1,
+        interpret=None,
+        block_rows=None,
+        stream=False,
+    ):
+        """The sharded form of ``Context.rowwise_terms``: runs the fused
+        row-wise kernel on this device's halo-extended local blocks (the
+        plan sized the exchanges from the declared ``hist``/``halox``), with
+        a wrapped row function that (a) offsets the row index to its global
+        value so ``it``-based masking lands correctly, and (b) multiplies
+        every residual by a 0/1 mask zeroing halo rows/columns and the
+        duplicated shared node of ghost-node time blocks.  Returns Raw terms
+        carrying (local sum, global count); ``local_eval`` psums them.
+
+        The halo exchange happens in ``_extend`` *outside* the kernel, so
+        shard_map autodiff transposes it to the exact scatter-add of edge
+        cotangents back to the owning devices -- no manual fold needed."""
+        plan = self.plan
+        domain = self.domain
+        ndim = domain.ndim
+        if data:
+            raise NotImplementedError(
+                "halo mode: rowwise_terms with per-row `data` arrays is not "
+                "yet supported under shard_map; use kernel='xla' here"
+            )
+        keys = tuple(keys)
+        w0 = plan.widths[keys[0]]
+        loc0 = plan.locs[keys[0]]
+        for k in keys[1:]:
+            if plan.widths[k] != w0 or plan.locs[k] != loc0:
+                raise ValueError(
+                    "halo mode: rowwise_terms fields must share one halo "
+                    f"plan; '{keys[0]}' and '{k}' differ (are they also read "
+                    "through ctx.field with different shifts?)"
+                )
+        exts = [self._extend(k) for k in keys]
+        local_shape = tuple(self._grid[keys[0]].shape)
+        dtype = exts[0].dtype
+
+        lo0 = w0[0][0]
+        node0 = loc0[0] == "n"
+        ax0 = plan.dim_axis.get(0)
+        k0 = plan.axis_sizes[ax0] if ax0 else 1
+        n_real = local_shape[0]
+        B0 = domain.cshape[0] // k0
+
+        # Plane mask: zero on halo columns of partitioned plane axes.
+        pshape = exts[0].shape[1:]
+        pmask = jnp.ones(pshape, dtype)
+        for d in range(1, ndim):
+            lo, hi = w0[d]
+            if not (lo or hi):
+                continue
+            n = pshape[d - 1]
+            m1 = (jnp.arange(n) >= lo) & (jnp.arange(n) < n - hi)
+            mshape = [1] * len(pshape)
+            mshape[d - 1] = n
+            pmask = pmask * m1.reshape(mshape).astype(dtype)
+
+        # Per-device metadata: global row of ext row 0, first-row ownership.
+        if ax0 is not None:
+            i0 = jax.lax.axis_index(ax0)
+            off = (i0 * B0 - lo0).astype(jnp.int32)
+            own = (i0 == 0).astype(jnp.int32)
+        else:
+            off = jnp.asarray(-lo0, jnp.int32)
+            own = jnp.asarray(1, jnp.int32)
+        meta = jnp.stack([off, own]).reshape(1, 2)
+
+        # Consts that are exactly local-plane-shaped get zero-padded to the
+        # ext plane (their halo columns are masked out of every residual);
+        # scalars and pre-shaped arrays pass through.  Along partitioned
+        # plane axes const values must be used pointwise (documented).
+        def _pad_const(c):
+            c = jnp.asarray(c)
+            if c.ndim == ndim - 1 and tuple(c.shape) == tuple(local_shape[1:]):
+                pad = [tuple(w0[d]) for d in range(1, ndim)]
+                if any(p != (0, 0) for p in pad):
+                    c = jnp.pad(c, pad)
+            return c
+
+        user_consts = tuple(_pad_const(c) for c in consts)
+        T_glob = domain.cshape[0] + (1 if node0 else 0)
+        nuser = len(user_consts)
+
+        def wrapped(it, _T, rows, data_rows, pv, cons):
+            pm, mt = cons[nuser], cons[nuser + 1]
+            it_g = it + mt[0, 0]
+            res = row_fn(it_g, T_glob, rows, data_rows, pv, cons[:nuser])
+            m = pm
+            if ax0 is not None and (lo0 or w0[0][1]):
+                inb = (it >= lo0) & (it < lo0 + n_real)
+                if node0 and k0 > 1:
+                    # The left device owns the shared node.
+                    inb = inb & ((it != lo0) | (mt[0, 1] > 0))
+                m = m * inb.astype(dtype)
+            return tuple(r * m for r in res)
+
+        from .ops.rowwise import rowwise_loss_sums
+
+        sums = rowwise_loss_sums(
+            wrapped,
+            tuple(exts),
+            params=params,
+            consts=user_consts + (pmask, meta),
+            nterms=nterms,
+            hist=hist,
+            interpret=interpret,
+            block_rows=block_rows,
+        )
+        count = 1.0
+        for d in range(ndim):
+            count *= domain.cshape[d] + (1 if loc0[d] == "n" else 0)
+        out = []
+        for s in sums:
+            r = Context.Raw(None)
+            r.halo_sum = (s, count)
+            r.from_rowwise = True
+            out.append(r)
+        return out
+
     def neural_net(self, key, frozen=False):
         net = self._params[key]
         if not isinstance(net, NeuralNet):
@@ -469,14 +802,21 @@ class _HaloContext:
         return res[0] if len(dims) == 1 else res
 
 
-def make_halo_loss_fn(problem, state, extra_partition=None):
+def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
     """Returns (loss_fn, arrays0) with the standard pure signature
     ``loss_fn(arrays, tracers) -> (loss, (terms, norms))``, evaluated inside
     ``shard_map`` with explicit ppermute halo exchange -- a drop-in for
     ``Problem.make_loss_fn`` that binds into every scanned optimizer.
 
     extra_partition: optional {attr_name: tuple-of-dim-names | None}
-    overriding the automatic localization of ``ctx.extra`` arrays."""
+    overriding the automatic localization of ``ctx.extra`` arrays.
+
+    mg_ladder: 'local' (default) runs the multigrid Horner ladder INSIDE
+    shard_map -- finest level sharded, coarser levels replicated, each
+    device prolonging only its own window through dynamically sliced dense
+    interp matrices (zero ladder communication); 'global' keeps the ladder
+    outside shard_map as a GSPMD-partitioned prologue (useful for
+    comparison)."""
     plan = _HaloPlan(problem, state, extra_partition=extra_partition)
     domain = problem.domain
     mesh = plan.mesh
@@ -498,7 +838,20 @@ def make_halo_loss_fn(problem, state, extra_partition=None):
     # Parameter-field metadata (weight counts, NN transforms); arrays unused.
     param_meta = {k: state.fields[k] for k in plan.param_keys}
 
-    def local_eval(grid, params_flat, extra_arrs, tracers):
+    # Local-ladder metadata per MultigridField key (mg_ladder='local').
+    mg_keys = (
+        [k for k, f in state.fields.items() if isinstance(f, MultigridField)]
+        if mg_ladder == "local"
+        else []
+    )
+    mg_meta = {
+        k: _mg_ladder_meta(domain, plan, k, state.fields[k]) for k in mg_keys
+    }
+
+    def local_eval(grid, mg_levels, params_flat, extra_arrs, tracers):
+        grid = dict(grid)
+        for k, levels in mg_levels.items():
+            grid[k] = _local_mg_block(plan, mg_meta[k], levels)
         params = {}
         pos = 0
         for key in plan.param_keys:
@@ -533,7 +886,16 @@ def make_halo_loss_fn(problem, state, extra_partition=None):
         terms = []
         for ti, v in enumerate(values):
             if isinstance(v, Context.Raw):
-                raise ValueError("halo mode does not support Context.Raw terms")
+                hs = getattr(v, "halo_sum", None)
+                if hs is None:
+                    raise ValueError(
+                        "halo mode does not support hand-made Context.Raw "
+                        "terms; evaluate fused kernels through "
+                        "ctx.rowwise_terms"
+                    )
+                # Kernel term: (masked local sum, global count).
+                terms.append(jax.lax.psum(hs[0], axis_names) / hs[1])
+                continue
             sq = jnp.square(v)
             if jnp.ndim(v) == domain.ndim:
                 # Grid-rank term: per-dimension accounting.  Along each
@@ -585,12 +947,32 @@ def make_halo_loss_fn(problem, state, extra_partition=None):
         return loss, (terms, norms)
 
     st0 = _flatten_all_multigrid(problem, state)
-    grid_keys = [k for k, f in st0.fields.items() if isinstance(f, Field)]
+    grid_keys = [
+        k for k, f in st0.fields.items() if isinstance(f, Field) and k not in mg_keys
+    ]
     grid_specs = {k: plan.field_spec(k) for k in grid_keys}
+    # Local ladder in_specs: finest level sharded like the flattened field
+    # (ghost-noded), coarser levels replicated.
+    mg_specs = {
+        k: [plan.field_spec(k)] + [P()] * (len(mg_meta[k]["shapes"]) - 1)
+        for k in mg_keys
+    }
     param_count = sum(len(field_arrays(st0.fields[k])) for k in plan.param_keys)
 
     def loss_fn(arrays, tracers):
-        st = _flatten_all_multigrid(problem, problem.state_from_arrays(arrays))
+        st = problem.state_from_arrays(arrays)
+        mg_levels = {}
+        for k in mg_keys:
+            f = st.fields[k]
+            levels = [t.array for t in f.terms]
+            levels[0] = _ghost_nodes(levels[0], plan, plan.field_node_dims(k))
+            mg_levels[k] = levels
+        if mg_keys:
+            st = State(
+                fields={k: v for k, v in st.fields.items() if k not in mg_keys},
+                initialized=True,
+            )
+        st = _flatten_all_multigrid(problem, st)
         grid = {
             k: _ghost_nodes(st.fields[k].array, plan, plan.field_node_dims(k))
             for k in grid_keys
@@ -601,12 +983,13 @@ def make_halo_loss_fn(problem, state, extra_partition=None):
             mesh,
             in_specs=(
                 grid_specs,
+                mg_specs,
                 [P()] * param_count,
                 {k: plan.extra_specs[k] for k in extra_arrays},
                 jax.tree_util.tree_map(lambda _: P(), tracers),
             ),
             out_specs=(P(), ([P()] * nterms, [P()] * nterms)),
         )
-        return sharded(grid, params_flat, extra_arrays, tracers)
+        return sharded(grid, mg_levels, params_flat, extra_arrays, tracers)
 
     return loss_fn, arrays0

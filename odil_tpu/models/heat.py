@@ -15,9 +15,7 @@ import jax
 import numpy as np
 
 from .. import Array, Domain, Field, Problem, State
-from ..context import Context
 from ..nn import eval_neural_net
-from ..ops import rowwise_loss_terms
 from ..stencil import extrap_linear, extrap_quadh
 
 __all__ = [
@@ -148,7 +146,6 @@ def operator_odil_fused(ctx):
     epoch = ctx.tracers["epoch"]
     dtype = ctx.dtype
 
-    u = ctx.field("u")
     if args.infer_k:
         k_params = tuple(ctx.domain.arrays_from_field(ctx.state.fields["k_net"]))
         nlayers = len(ctx.state.fields["k_net"].weights)
@@ -249,10 +246,10 @@ def operator_odil_fused(ctx):
         names.append("xreg")
     if args.ktreg:
         names.append("treg")
-    terms = rowwise_loss_terms(
-        row_fn, (u,), params=k_params, data=data, consts=consts, nterms=len(names), hist=1, halox=1
+    terms = ctx.rowwise_terms(
+        row_fn, ("u",), params=k_params, data=data, consts=consts, nterms=len(names), hist=1, halox=1
     )
-    res = [(name, Context.Raw(t)) for name, t in zip(names, terms)]
+    res = list(zip(names, terms))
 
     if args.kwreg and args.infer_k:
         ww = ctx.domain.arrays_from_field(ctx.state.fields["k_net"])

@@ -19,7 +19,6 @@ import numpy as np
 
 from .. import Domain, Field, Problem, State
 from ..context import Context
-from ..ops import rowwise_loss_terms
 
 __all__ = ["tracer_blob", "operator", "operator_fused", "operator_fused_mg", "build"]
 
@@ -146,14 +145,18 @@ def operator_fused(ctx):
     args = extra.args
     dt, dx, dy = map(float, ctx.step())
     row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
-    u = ctx.field("u")
-    vx = ctx.field("vx")
-    vy = ctx.field("vy")
     nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
-    terms = rowwise_loss_terms(
-        row_fn, (u, vx, vy), consts=(extra.u_init, extra.u_final), nterms=nterms, hist=1, halox=1
+    # The Context service form runs the kernel globally under the default
+    # evaluation and per device shard (halo-extended blocks, masked sums)
+    # under --halo (see halo.py).
+    return ctx.rowwise_terms(
+        row_fn,
+        ("u", "vx", "vy"),
+        consts=(extra.u_init, extra.u_final),
+        nterms=nterms,
+        hist=1,
+        halox=1,
     )
-    return [Context.Raw(t) for t in terms]
 
 
 def operator_fused_mg(ctx):

@@ -10,8 +10,6 @@ import argparse
 import numpy as np
 
 from .. import Domain, Problem, State
-from ..context import Context
-from ..ops import rowwise_loss_terms
 from ..stencil import extrap_quadh
 
 __all__ = ["exact_solution", "operator", "operator_fused", "build"]
@@ -77,7 +75,6 @@ def operator_fused(ctx):
     nt, nx = ctx.size()
     dtype = ctx.dtype
 
-    u = ctx.field("u")
     left_utm = mod.reshape(mod.roll(extra.left_u, 1, 0), (nt, 1))
     right_utm = mod.reshape(mod.roll(extra.right_u, 1, 0), (nt, 1))
     ix = mod.cast(ctx.indices("x")[0, :], dtype)
@@ -99,16 +96,16 @@ def operator_fused(ctx):
         fu = mod.where(it == 0, (cur - first) * args.kimp, fu)
         return (fu,)
 
-    (term,) = rowwise_loss_terms(
+    (term,) = ctx.rowwise_terms(
         row_fn,
-        (u,),
+        ("u",),
         data=(left_utm, right_utm),
         consts=(extra.init_u, extra.init_ut, ix),
         nterms=1,
         hist=2,
         halox=1,
     )
-    return [("fu", Context.Raw(term))]
+    return [("fu", term)]
 
 
 def build(nt=64, nx=64, kimp=1.0, dtype=np.float64, multigrid=True, kernel="xla",

@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["rowwise_sumsq", "rowwise_loss_terms"]
+__all__ = ["rowwise_sumsq", "rowwise_loss_terms", "rowwise_loss_sums"]
 
 
 
@@ -772,7 +772,7 @@ def _bwd_rule(row_fn, nterms, hist, interpret, saved, g):
 rowwise_sumsq.defvjp(_fwd_rule, _bwd_rule)
 
 
-def _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist):
+def _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist, sums=False):
     """Pure-XLA evaluation of the same row-wise semantics: whole-array rolls
     along the time axis, then vmap of the row function over rows.  Used off
     TPU and when the backward kernel would not fit VMEM."""
@@ -786,6 +786,8 @@ def _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist):
         return tuple(row_fn(it_i, T, row_planes, data_planes, params, consts))
 
     res = jax.vmap(per_row, in_axes=(0, 0, 0))(it, rows, tuple(data))
+    if sums:
+        return [jnp.sum(jnp.square(r)) for r in res]
     return [jnp.mean(jnp.square(r)) for r in res]
 
 
@@ -828,6 +830,7 @@ def rowwise_loss_terms(
     block_rows=None,
     stream=False,
     halox=None,
+    _sums=False,
 ):
     """Per-term mean-squared losses through the fused kernel.
 
@@ -851,6 +854,7 @@ def rowwise_loss_terms(
     T = fields[0].shape[0]
     plane = int(np.prod(fields[0].shape[1:]))
     plane_bytes = plane * fields[0].dtype.itemsize
+    denom = 1.0 if _sums else T * plane
     if interpret is None:
         vmem = _backward_vmem_estimate(fields, params, data, consts, nterms, hist)
         # Mosaic cannot lower 64-bit reductions/scalars (remote-compile
@@ -859,6 +863,7 @@ def rowwise_loss_terms(
         if not _on_tpu() or vmem > 14 * 1024 * 1024 or fields[0].dtype.itemsize > 4:
             if (
                 _on_tpu()
+                and not _sums
                 and halox is not None
                 and fields[0].dtype.itemsize <= 4
                 and fields[0].ndim == 3
@@ -880,7 +885,9 @@ def rowwise_loss_terms(
                         row_fn, fields, params=params, data=data, consts=consts,
                         nterms=nterms, hist=hist, halox=halox, tile=tile,
                     )
-            return _vmap_rowwise_terms(row_fn, fields, params, data, consts, nterms, hist)
+            return _vmap_rowwise_terms(
+                row_fn, fields, params, data, consts, nterms, hist, sums=_sums
+            )
         interpret = False
     if stream and hist >= 1:
         # Streaming ring-buffer kernels: each field read from HBM once.
@@ -898,7 +905,7 @@ def rowwise_loss_terms(
             sums = rowwise_sumsq_stream(row_fn_s, nterms, hist, interpret, fields2, params, data2, consts2)
         else:
             sums = rowwise_sumsq_stream(row_fn, nterms, hist, interpret, fields, params, data, consts)
-        return [sums[k] / (T * plane) for k in range(nterms)]
+        return [sums[k] / denom for k in range(nterms)]
     if block_rows is None:
         # Small planes: several rows per program amortize the per-program
         # overhead (measured 2x on a 65x65 wave-type grid).  The in-kernel
@@ -925,7 +932,7 @@ def rowwise_loss_terms(
             sums = rowwise_sumsq_blocked(
                 row_fn, nterms, hist, interpret, block_rows, fields, params, data, consts
             )
-        return [sums[k] / (T * plane) for k in range(nterms)]
+        return [sums[k] / denom for k in range(nterms)]
 
     if fields[0].ndim == 2:
         # (T, N) -> (T, 1, N): TPU block shapes need a unit sublane axis.
@@ -945,4 +952,35 @@ def rowwise_loss_terms(
         sums = rowwise_sumsq(row_fn2, nterms, hist, interpret, fields2, params, data2, consts2)
     else:
         sums = rowwise_sumsq(row_fn, nterms, hist, interpret, fields, params, data, consts)
-    return [sums[k] / (T * plane) for k in range(nterms)]
+    return [sums[k] / denom for k in range(nterms)]
+
+
+def rowwise_loss_sums(
+    row_fn,
+    fields,
+    params=(),
+    data=(),
+    consts=(),
+    nterms=1,
+    hist=1,
+    interpret=None,
+    block_rows=None,
+    stream=False,
+):
+    """``rowwise_loss_terms`` returning per-term SUMS of squares instead of
+    means.  Used by sharded evaluation (halo.py): each device computes the
+    masked local sum through the kernel, a ``psum`` makes it global, and the
+    caller divides by the *global* residual count."""
+    return rowwise_loss_terms(
+        row_fn,
+        fields,
+        params=params,
+        data=data,
+        consts=consts,
+        nterms=nterms,
+        hist=hist,
+        interpret=interpret,
+        block_rows=block_rows,
+        stream=stream,
+        _sums=True,
+    )

@@ -74,10 +74,13 @@ def test_halo_loc_conversion_on_unsharded_dim():
     _compare_loss_and_grads(problem, state)
 
 
-def test_halo_veltracer_multigrid():
+@pytest.mark.parametrize("mg_ladder", ["local", "global"])
+def test_halo_veltracer_multigrid(mg_ladder):
     """The flagship workload (three coupled multigrid fields, upwind
-    stencils, localized extra data u_init/u_final) through the halo path;
-    the multigrid ladder flattens under GSPMD outside shard_map."""
+    stencils, localized extra data u_init/u_final) through the halo path.
+    mg_ladder='local' runs the Horner ladder inside shard_map (windowed
+    dynamic-sliced interp matrices, replicated coarse levels);
+    'global' flattens it under GSPMD outside shard_map."""
     from odil_tpu.models import veltracer as vt
 
     mesh = parallel.mesh_from_spec("x:2,y:4")
@@ -91,13 +94,16 @@ def test_halo_veltracer_multigrid():
         mesh=mesh,
         partition={"x": "x", "y": "y"},
     )
-    _compare_loss_and_grads(problem, state, rtol=1e-9, atol=1e-10)
+    _compare_loss_and_grads(
+        problem, state, halo_kw={"mg_ladder": mg_ladder}, rtol=1e-9, atol=1e-10
+    )
 
 
-def test_halo_veltracer_multigrid_t_partition():
+@pytest.mark.parametrize("mg_ladder", ["local", "global"])
+def test_halo_veltracer_multigrid_t_partition(mg_ladder):
     """The flagship partitioned over the TIME axis (node-located, the
     long-axis/sequence-parallel analogue, SURVEY.md §5) and x: ghost-node
-    blocks for every 'ncc' field, multigrid on."""
+    blocks for every 'ncc' field, multigrid on — both ladder placements."""
     from odil_tpu.models import veltracer as vt
 
     mesh = parallel.mesh_from_spec("t:4,x:2")
@@ -111,7 +117,9 @@ def test_halo_veltracer_multigrid_t_partition():
         mesh=mesh,
         partition={"t": "t", "x": "x"},
     )
-    _compare_loss_and_grads(problem, state, rtol=1e-12, atol=1e-12)
+    _compare_loss_and_grads(
+        problem, state, halo_kw={"mg_ladder": mg_ladder}, rtol=1e-12, atol=1e-12
+    )
 
 
 def test_halo_node_field_on_partitioned_axis():
@@ -170,17 +178,79 @@ def test_halo_rejects_term_sliced_along_partitioned_axis():
         jax.eval_shape(loss_fn, arrays, problem.tracers)
 
 
-def test_halo_rejects_raw_terms():
+@pytest.mark.parametrize("spec,part", [
+    ("x:4", {"x": "x"}),
+    ("t:4,x:2", {"t": "t", "x": "x"}),
+])
+@pytest.mark.parametrize("multigrid", [False, True])
+def test_halo_fused_kernel_veltracer(spec, part, multigrid):
+    """Fused-kernel operators compose with halo mode through
+    ctx.rowwise_terms: the kernel runs per device shard on halo-extended
+    blocks (incl. ghost-node time blocks) with masked sums, matching the
+    global kernel path to roundoff."""
     from odil_tpu.models import veltracer as vt
 
-    mesh = parallel.mesh_from_spec("x:2,y:4")
+    mesh = parallel.mesh_from_spec(spec)
+    problem, state, extra = vt.build(
+        nt=16, nx=16, ny=16, kernel="pallas", multigrid=multigrid,
+        dtype=np.float64, mesh=mesh, partition=part,
+    )
+    _compare_loss_and_grads(problem, state)
+
+
+def test_halo_fused_kernel_trains_with_scanned_adam():
+    """The sharded-kernel loss_fn binds into the scanned Adam optimizer."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("t:2,x:2")
     problem, state, extra = vt.build(
         nt=8, nx=16, ny=16, kernel="pallas", multigrid=False,
-        mesh=mesh, partition={"x": "x", "y": "y"},
+        dtype=np.float64, mesh=mesh, partition={"t": "t", "x": "x"},
+    )
+    from odil_tpu.halo import make_halo_loss_fn
+    from odil_tpu.optim import make_optimizer
+
+    loss_fn, arrays = make_halo_loss_fn(problem, state)
+    opt = make_optimizer("adamn", dtype=problem.domain.dtype, mod=problem.domain.mod)
+    opt.bind(loss_fn, tracers=problem.tracers, task_epochs=[0, 40], names=None)
+    loss_start = float(loss_fn(arrays, problem.tracers)[0])
+    arrays, optinfo = opt.run(arrays, epochs=40, lr=0.02)
+    loss_end = float(loss_fn(arrays, problem.tracers)[0])
+    assert loss_end < 0.5 * loss_start, (loss_start, loss_end)
+
+
+def test_halo_rejects_handmade_raw_terms():
+    mesh = parallel.mesh_from_spec("x:2")
+    N = 16
+    domain = odil.Domain(
+        cshape=(N, N), dimnames=["x", "y"], dtype=np.float64, mesh=mesh, partition={"x": "x"}
+    )
+
+    def operator(ctx):
+        from odil_tpu.context import Context
+
+        return [Context.Raw(ctx.mod.mean(ctx.field("u") ** 2))]
+
+    state = domain.init_state(odil.State(fields={"u": np.zeros((N, N))}))
+    problem = odil.Problem(operator, domain, None)
+    from odil_tpu.halo import make_halo_loss_fn
+
+    with pytest.raises(ValueError, match="hand-made"):
+        make_halo_loss_fn(problem, state)
+
+
+def test_halo_fused_kernel_rejects_lane_axis_partition():
+    """Kernel operators cannot partition the last (lane) plane axis."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("y:2")
+    problem, state, extra = vt.build(
+        nt=8, nx=16, ny=16, kernel="pallas", multigrid=False,
+        dtype=np.float64, mesh=mesh, partition={"y": "y"},
     )
     from odil_tpu.halo import make_halo_loss_fn
 
-    with pytest.raises(ValueError, match="Raw"):
+    with pytest.raises(ValueError, match="lane"):
         make_halo_loss_fn(problem, state)
 
 

@@ -91,3 +91,33 @@ def test_rowwise_mg_kernel_lowers():
     for a, b in zip(g0, grads):
         scale = max(1.0, float(np.max(np.abs(a))))
         np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+
+
+def test_halo_sharded_kernel_lowers():
+    """The halo-mode per-shard kernel (ctx.rowwise_terms rerouted through
+    _HaloContext: halo-extended blocks, masked sums, psum) on silicon must
+    reproduce the plain global-kernel path.  A 1-device mesh with a
+    partitioned axis still exercises the full machinery (ghost extension,
+    wrapped row function, sum/psum convention) inside shard_map."""
+    from odil_tpu import parallel
+    from odil_tpu.halo import make_halo_loss_fn
+    from odil_tpu.models import veltracer as vt
+
+    kw = dict(nt=16, nx=16, ny=16, kernel="pallas", multigrid=False,
+              dtype=np.float32)
+    problem, state, _ = vt.build(**kw)
+    loss_fn, arrays = problem.make_loss_fn(state)
+    f0 = jax.jit(jax.value_and_grad(lambda a: loss_fn(a, problem.tracers)[0]))
+    v0, g0 = f0(arrays)
+
+    mesh = parallel.mesh_from_spec("x:1")
+    problem1, state1, _ = vt.build(**kw, mesh=mesh, partition={"x": "x"})
+    loss_fn1, arrays1 = make_halo_loss_fn(problem1, state1)
+    f1 = jax.jit(jax.value_and_grad(lambda a: loss_fn1(a, problem1.tracers)[0]))
+    v1, g1 = f1(arrays1)
+
+    np.testing.assert_allclose(float(v0), float(v1), rtol=2e-6)
+    for a, b in zip(g0, g1):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6 * scale)
