@@ -44,9 +44,11 @@ Restrictions (validated at build/trace time, clear errors):
   device shard* on halo-extended local blocks -- the same widened exchange,
   with halo/duplicated rows masked out of the kernel's loss sums and the
   per-device sums combined by ``psum`` against the global residual count
-  (``_HaloContext.rowwise_terms``).  Restrictions there: the last (lane)
-  plane axis must stay unpartitioned, partitioned plane axes must be
-  cell-located, and per-row ``data`` arrays are not yet supported;
+  (``_HaloContext.rowwise_terms``).  Per-row ``data`` arrays are localized
+  and halo-extended like the fields (global-shaped dims sliced to the local
+  block, local-shaped dims passed through, size-1 plane dims broadcast).
+  Restrictions there: the last (lane) plane axis must stay unpartitioned
+  and partitioned plane axes must be cell-located;
 - ``extra`` arrays whose shape matches trailing grid axes are sharded and
   localized automatically (e.g. veltracer's ``u_init`` of shape (Nx, Ny));
   pass ``extra_partition={'name': ('x','y') | None}`` to override.
@@ -94,7 +96,9 @@ def _flatten_all_multigrid(problem, state):
     fields = dict(st.fields)
     for key, f in fields.items():
         if isinstance(f, MultigridField):
-            fields[key] = Field(problem.domain.multigrid_to_regular(f), loc=f.loc)
+            # multigrid_to_regular already returns a Field (singleton ladder;
+            # groups were flattened by the batched ladder above).
+            fields[key] = problem.domain.multigrid_to_regular(f)
     return State(fields=fields, initialized=True)
 
 
@@ -497,6 +501,11 @@ class _HaloContext:
         self.size = domain.size
         self._grid = grid  # key -> local block
         self._params = params  # key -> Array | NeuralNet with local arrays
+        # Parameter unknowns (Array/NeuralNet, replicated) are reachable as
+        # ctx.state.fields[...] for operators that pull raw weights (e.g.
+        # heat's fused conductivity net); grid fields are deliberately
+        # absent -- read them through ctx.field / ctx.rowwise_terms.
+        self.state = State(fields=dict(params), initialized=True)
         self._extended = {}
         self._cache = {}
 
@@ -507,7 +516,16 @@ class _HaloContext:
 
     def _extend(self, key):
         """Returns the local block of `key` extended by its halo widths along
-        every partitioned dimension (one ppermute pair per dimension).
+        every partitioned dimension (one ppermute pair per dimension)."""
+        if key in self._extended:
+            return self._extended[key]
+        a = self._extend_array(self._grid[key], self.plan.widths[key], self.plan.locs[key])
+        self._extended[key] = a
+        return a
+
+    def _extend_array(self, a, widths, loc):
+        """Extends a local block by per-dimension halo widths along every
+        partitioned dimension (one ppermute pair per dimension).
 
         Cell axes: the neighbor's edge rows ARE the halo (the ring gives
         periodic wrap for free).  Node axes (ghost-node blocks of B+1 rows,
@@ -516,15 +534,12 @@ class _HaloContext:
         offset -- interior devices skip the duplicated shared node, while the
         ring-wrap devices shift by one so the read reproduces the reference's
         periodic roll over the N+1 global nodes."""
-        if key in self._extended:
-            return self._extended[key]
-        a = self._grid[key]
         for d, axis in self.plan.dim_axis.items():
-            lo, hi = self.plan.widths[key][d]
+            lo, hi = widths[d]
             if not (lo or hi):
                 continue
             k = self.plan.axis_sizes[axis]
-            node = self.plan.locs[key][d] == "n"
+            node = loc[d] == "n"
             parts = []
 
             def exchange(h, leading):
@@ -559,7 +574,6 @@ class _HaloContext:
             if hi:
                 parts.append(exchange(hi, leading=False))
             a = jnp.concatenate(parts, axis=d) if len(parts) > 1 else a
-        self._extended[key] = a
         return a
 
     # -- Context API ---------------------------------------------------------
@@ -647,11 +661,6 @@ class _HaloContext:
         plan = self.plan
         domain = self.domain
         ndim = domain.ndim
-        if data:
-            raise NotImplementedError(
-                "halo mode: rowwise_terms with per-row `data` arrays is not "
-                "yet supported under shard_map; use kernel='xla' here"
-            )
         keys = tuple(keys)
         w0 = plan.widths[keys[0]]
         loc0 = plan.locs[keys[0]]
@@ -665,6 +674,44 @@ class _HaloContext:
         exts = [self._extend(k) for k in keys]
         local_shape = tuple(self._grid[keys[0]].shape)
         dtype = exts[0].dtype
+
+        # Per-row data arrays (read at offset 0 forward, offsets 0..hist by
+        # the backward recompute) are brought to the same halo-extended local
+        # shape as the fields: global-shaped dims (replicated extras) are
+        # sliced to this device's real block, local-shaped dims (auto-sharded
+        # extras, or data computed from local fields) pass through, and
+        # size-1 plane dims broadcast inside the row function so they skip
+        # the exchange.  The halo rows then come from the same ppermute
+        # exchange as the fields, so cotangents of data computed from local
+        # unknowns transpose to the exact edge scatter-add.
+        def _localize_data(darr):
+            dloc = jnp.asarray(darr)
+            if dloc.ndim != ndim:
+                raise ValueError(
+                    "halo mode: rowwise_terms data arrays must have grid "
+                    f"rank (T, *plane); got shape {tuple(dloc.shape)}"
+                )
+            dwidths = [(0, 0)] * ndim
+            for dim, axis in plan.dim_axis.items():
+                nglob = domain.cshape[dim] + (1 if loc0[dim] == "n" else 0)
+                nloc = local_shape[dim]
+                s = dloc.shape[dim]
+                if s == 1 and dim > 0:
+                    continue
+                if s == nglob and s != nloc:
+                    Bd = domain.cshape[dim] // plan.axis_sizes[axis]
+                    start = (jax.lax.axis_index(axis) * Bd).astype(jnp.int32)
+                    dloc = jax.lax.dynamic_slice_in_dim(dloc, start, nloc, axis=dim)
+                elif s != nloc:
+                    raise ValueError(
+                        f"halo mode: data array size {s} along partitioned "
+                        f"dimension '{domain.dimnames[dim]}' matches neither "
+                        f"the global ({nglob}) nor the local ({nloc}) extent"
+                    )
+                dwidths[dim] = tuple(w0[dim])
+            return self._extend_array(dloc, dwidths, loc0)
+
+        ext_data = tuple(_localize_data(d) for d in data)
 
         lo0 = w0[0][0]
         node0 = loc0[0] == "n"
@@ -731,6 +778,7 @@ class _HaloContext:
             wrapped,
             tuple(exts),
             params=params,
+            data=ext_data,
             consts=user_consts + (pmask, meta),
             nterms=nterms,
             hist=hist,

@@ -335,7 +335,8 @@ def pick_imposed(domain, args):
 
 def build(nt=64, nx=64, infer_k=False, imposed="none", nimp=200, noise=0.0, seed=1000,
           kimp=2.0, kxreg=0.0, ktreg=0.0, kwreg=0.0, kmax=0.1, arch_k=(5, 5),
-          dtype=np.float32, multigrid=True, kernel="xla", args=None):
+          dtype=np.float32, multigrid=True, kernel="xla", mesh=None, partition=None,
+          args=None):
     """Builds the (inverse-)conductivity problem with a synthetic reference.
     Returns (problem, state, extra)."""
     if args is None:
@@ -345,7 +346,8 @@ def build(nt=64, nx=64, infer_k=False, imposed="none", nimp=200, noise=0.0, seed
             kwreg=kwreg, kwregdecay=0, kmax=kmax, keep_frozen=1, keep_init=1,
             solver="odil",
         )
-    domain = Domain(cshape=(nt, nx), dimnames=("t", "x"), multigrid=multigrid, dtype=dtype)
+    domain = Domain(cshape=(nt, nx), dimnames=("t", "x"), multigrid=multigrid, dtype=dtype,
+                    mesh=mesh, partition=partition)
     mod = domain.mod
     tt, xx = domain.points()
     t1, x1 = domain.points_1d()

@@ -219,6 +219,68 @@ def test_halo_fused_kernel_trains_with_scanned_adam():
     assert loss_end < 0.5 * loss_start, (loss_start, loss_end)
 
 
+def test_halo_fused_kernel_wave_data_rows():
+    """Wave's fused operator feeds boundary traces as per-row data (hist=2):
+    data rows must ride the same t-halo exchange as the field, with the
+    global (replicated-extra) arrays sliced to the local block."""
+    from odil_tpu.models import wave as wv
+
+    mesh = parallel.mesh_from_spec("t:4")
+    problem, state, extra = wv.build(
+        nt=16, nx=16, kernel="pallas", multigrid=True,
+        mesh=mesh, partition={"t": "t"},
+    )
+    _compare_loss_and_grads(problem, state)
+
+
+def test_halo_fused_kernel_heat_imposed_data():
+    """Heat's fused operator under --halo: per-row imposed-measurement data
+    (auto-sharded extras arriving local), NeuralNet conductivity params, and
+    the epoch tracer, partitioned over time."""
+    from odil_tpu.models import heat as ht
+
+    mesh = parallel.mesh_from_spec("t:4")
+    problem, state, extra = ht.build(
+        nt=16, nx=16, infer_k=True, imposed="random", nimp=40,
+        dtype=np.float64, multigrid=True, kernel="pallas",
+        mesh=mesh, partition={"t": "t"},
+    )
+    _compare_loss_and_grads(problem, state)
+
+
+@pytest.mark.parametrize("replicated", [False, True])
+def test_halo_fused_kernel_data_planes(replicated):
+    """Per-row data with plane extent along a partitioned axis: auto-sharded
+    extras arrive local and are halo-extended by ppermute; replicated extras
+    are sliced from the global array first.  The residual reads a rolled
+    data plane, so the data halo columns enter real residuals."""
+    mesh = parallel.mesh_from_spec("t:2,x:2")
+    T, N = 8, 16
+    domain = odil.Domain(
+        cshape=(T, N, N), dimnames=("t", "x", "y"), dtype=np.float64,
+        mesh=mesh, partition={"t": "t", "x": "x"}, multigrid=False,
+    )
+    rng = np.random.RandomState(5)
+    extra = argparse.Namespace(dat=domain.cast(rng.rand(T, N, N)))
+
+    def operator(ctx):
+        mod = ctx.mod
+
+        def row_fn(it, Tg, rows, data_rows, params, consts):
+            (cur, prev) = rows[0]
+            d = data_rows[0]
+            return (cur - mod.roll(d, 1, 0) + 0.5 * prev,)
+
+        return ctx.rowwise_terms(
+            row_fn, ("u",), data=(ctx.extra.dat,), nterms=1, hist=1, halox=1
+        )
+
+    state = domain.init_state(odil.State(fields={"u": rng.rand(T, N, N)}))
+    problem = odil.Problem(operator, domain, extra)
+    halo_kw = {"extra_partition": {"dat": None}} if replicated else None
+    _compare_loss_and_grads(problem, state, halo_kw=halo_kw)
+
+
 def test_halo_rejects_handmade_raw_terms():
     mesh = parallel.mesh_from_spec("x:2")
     N = 16
