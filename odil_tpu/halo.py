@@ -48,7 +48,14 @@ Restrictions (validated at build/trace time, clear errors):
   and halo-extended like the fields (global-shaped dims sliced to the local
   block, local-shaped dims passed through, size-1 plane dims broadcast).
   Restrictions there: the last (lane) plane axis must stay unpartitioned
-  and partitioned plane axes must be cell-located;
+  and partitioned plane axes must be cell-located.  The MG-fused ONE-PASS
+  loss+grad (the training-step kernel) also composes: operators exposing a
+  ``kernel_decl`` declaration get ``make_halo_loss_grad_fn`` -- one
+  per-shard kernel that reconstructs the fine multigrid rows in VMEM from
+  the sharded level-0 term plus a time-window of the replicated level-1
+  partial and emits loss sums and cotangents together (its own docstring
+  lists the envelope; outside it the builder returns None and training
+  falls back to value_and_grad of the halo loss);
 - ``extra`` arrays whose shape matches trailing grid axes are sharded and
   localized automatically (e.g. veltracer's ``u_init`` of shape (Nx, Ny));
   pass ``extra_partition={'name': ('x','y') | None}`` to override.
@@ -71,7 +78,7 @@ from .context import Context
 from .fields import Array, Field, MultigridField, NeuralNet, State, field_arrays
 from .nn import eval_neural_net
 
-__all__ = ["make_halo_loss_fn"]
+__all__ = ["make_halo_loss_fn", "make_halo_loss_grad_fn"]
 
 
 def _shard_map(fun, mesh, in_specs, out_specs):
@@ -100,6 +107,23 @@ def _flatten_all_multigrid(problem, state):
             # groups were flattened by the batched ladder above).
             fields[key] = problem.domain.multigrid_to_regular(f)
     return State(fields=fields, initialized=True)
+
+
+def _local_extra_of(extra, extra_arrs):
+    """The device-local ``ctx.extra``: the global extra object with its
+    planned array attributes replaced by this device's blocks."""
+    if extra is None:
+        return None
+    if isinstance(extra, dict):
+        out = dict(extra)
+        out.update(extra_arrs)
+        return out
+    import copy
+
+    out = copy.copy(extra)
+    for k, v in extra_arrs.items():
+        setattr(out, k, v)
+    return out
 
 
 def _ghost_nodes(a, plan, node_dims):
@@ -869,6 +893,10 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
     domain = problem.domain
     mesh = plan.mesh
     axis_names = tuple(mesh.axis_names)
+    # Mesh axes that actually partition a grid dimension; axes outside this
+    # set replicate every block (their contribution enters term counts as a
+    # multiplicity, never as a psum).
+    used_axes = tuple(dict.fromkeys(plan.dim_axis.values()))
     ndev = int(np.prod(mesh.devices.shape))
 
     problem._capture_structure(state)
@@ -918,17 +946,7 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
                     func_out=f.func_out,
                     activation=f.activation,
                 )
-        if extra is None:
-            local_extra = None
-        elif isinstance(extra, dict):
-            local_extra = dict(extra)
-            local_extra.update(extra_arrs)
-        else:
-            import copy
-
-            local_extra = copy.copy(extra)
-            for k, v in extra_arrs.items():
-                setattr(local_extra, k, v)
+        local_extra = _local_extra_of(extra, extra_arrs)
         ctx = _HaloContext(plan, grid, params, local_extra, tracers)
         _, values = problem._run_operator(ctx)
         terms = []
@@ -941,8 +959,11 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
                         "terms; evaluate fused kernels through "
                         "ctx.rowwise_terms"
                     )
-                # Kernel term: (masked local sum, global count).
-                terms.append(jax.lax.psum(hs[0], axis_names) / hs[1])
+                # Kernel term: (masked local sum, global count).  Sum only
+                # over mesh axes that partition a grid dimension: an axis
+                # partitioning nothing replicates the block, and psumming
+                # across it would overcount by its size.
+                terms.append(jax.lax.psum(hs[0], used_axes) / hs[1])
                 continue
             sq = jnp.square(v)
             if jnp.ndim(v) == domain.ndim:
@@ -1041,3 +1062,276 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
         return sharded(grid, mg_levels, params_flat, extra_arrays, tracers)
 
     return loss_fn, arrays0
+
+
+def make_halo_loss_grad_fn(problem, state, extra_partition=None, interpret=None):
+    """One-pass fused loss+gradients INSIDE shard_map: the ``--halo`` form
+    of ``Problem.make_loss_grad_fn`` (same contract: a pure
+    ``fn(arrays, tracers) -> ((loss, (terms, norms)), grads)``), composing
+    the MG-fused backward kernel (ops/rowwise_mg.rowwise_mg_local_loss_and_grads)
+    with the explicit halo exchange.  Per device and training step this runs
+    ONE kernel on the halo-extended local block -- the fine multigrid rows
+    are reconstructed in VMEM from the sharded level-0 term plus a
+    time-window of the replicated level-1 Horner partial, and the backward
+    sweep accumulates the loss terms while emitting cotangents -- instead of
+    the forward+backward kernel pair plus the per-device XLA ladder of the
+    ``make_halo_loss_fn`` + ``jax.value_and_grad`` route.
+
+    Structure (all exchanges transpose exactly, so gradients match the
+    GSPMD path to roundoff):
+
+    - prologue (outside shard_map, ``jax.vjp``-wrapped): the batched
+      multigrid flattening stopped at the level-1 partial
+      (``Problem._flatten_multigrid_batched(partial_out=...)``), plus the
+      ghost-node re-layout of the sharded level-0 term;
+    - localization (inside shard_map, ``jax.vjp``-wrapped): x-halo ppermute
+      extension of the level-0 block, the device's time-window of the
+      replicated coarse partial, and the ``hist`` fine rows preceding the
+      block -- reconstructed by the ring predecessor with the kernel's exact
+      operation order and ppermuted forward (periodic wrap for device 0
+      comes free from the ring, matching the reference's roll semantics,
+      ``src/odil/core.py:956-969``);
+    - kernel: per-shard one-pass loss+grad with a wrapped row function
+      (global row offsets, halo-column / duplicated-node masking); per-term
+      SUMS and the replicated-coarse cotangents are ``psum``-combined.
+
+    Returns None when the fused path does not apply -- no
+    ``operator.kernel_decl``, multigrid off, 64-bit dtype (Mosaic), 2D/4D+
+    grids, parameter unknowns, odd local time blocks, per-row data arrays,
+    or local blocks beyond the kernel's VMEM fit -- and callers fall back to
+    ``jax.value_and_grad(make_halo_loss_fn(...))``."""
+    domain = problem.domain
+    op = problem.operator
+    decl_fn = getattr(op, "kernel_decl", None)
+    if decl_fn is None or getattr(op, "loss_and_grads", None) is None:
+        return None
+    if not getattr(problem, "mg_partial", False):
+        return None
+    if np.dtype(domain.dtype).itemsize > 4 and jax.default_backend() == "tpu":
+        return None  # Mosaic cannot lower 64-bit kernels (interpret is fine).
+    if domain.ndim != 3 or domain.cshape[0] % 2:
+        return None
+    problem._capture_structure(state)
+    arrays0 = domain.arrays_from_state(state)
+    probe = {}
+    problem._flatten_multigrid_batched(
+        problem.state_from_arrays(arrays0), partial_out=probe
+    )
+    if not probe:
+        return None
+    plan = _HaloPlan(problem, state, extra_partition=extra_partition)
+    if plan.param_keys or len(plan.rowwise_calls) != 1:
+        return None
+    call = plan.rowwise_calls[0]
+    keys = tuple(call["keys"])
+    hist, halox, nterms = call["hist"], call["halox"], call["nterms"]
+    if hist < 1:
+        return None
+    if set(keys) != set(probe) or any(len(probe[k]) != 3 for k in keys):
+        return None  # Depth-2 partials / extra grouped fields: unsupported.
+    if any(plan.locs[k] != "ncc" for k in keys):
+        return None
+    ax_t = plan.dim_axis.get(0)
+    ax_x = plan.dim_axis.get(1)
+    k_t = plan.axis_sizes[ax_t] if ax_t else 1
+    k_x = plan.axis_sizes[ax_x] if ax_x else 1
+    Tcells, X, Y = domain.cshape
+    B = Tcells // k_t
+    if k_t > 1 and B % 2:
+        # The coarse time-window and its in-kernel parity logic need even
+        # owned blocks (window row = local_row // 2 only when g0 is even).
+        return None
+    XB = X // k_x
+    Tl = B + 1
+    if Tl <= 2 * hist or (k_x > 1 and XB <= 2 * halox):
+        return None
+    T_glob = Tcells + 1
+    cells = float(T_glob) * X * Y
+    hx = halox if k_x > 1 else 0
+    Xe = XB + 2 * hx
+
+    from .ops.rowwise_mg import (
+        MG_VMEM_LIMIT,
+        _recon_rows_xla,
+        mg_vmem_estimate,
+        rowwise_mg_local_loss_and_grads,
+    )
+
+    t0_shapes = tuple(tuple(probe[k][0].shape) for k in keys)
+    if any(s != (T_glob, X, Y) for s in t0_shapes):
+        return None
+    CX, CY = probe[keys[0]][2].shape[1:]
+    if (CX, CY) != (X // 2, Y // 2):
+        return None
+    local_shapes = tuple((Tl, Xe, Y) for _ in keys)
+    if mg_vmem_estimate(local_shapes, domain.dtype, hist=hist, nconsts=4) > MG_VMEM_LIMIT:
+        return None  # Local blocks beyond VMEM: no tiled local variant.
+
+    from .transfer import _interp_matrix
+
+    np_dtype = np.dtype(domain.dtype)
+    Wx_full = jnp.asarray(_interp_matrix(CX, "c", np_dtype))
+    Wy_full = jnp.asarray(_interp_matrix(CY, "c", np_dtype))
+    f0s = tuple(float(probe[k][1]) for k in keys)
+    Tcw = B // 2 + 1
+    x_widths = [(0, 0), (hx, hx), (0, 0)]
+
+    mesh = plan.mesh
+    used_axes = tuple(dict.fromkeys(plan.dim_axis.values()))
+    extra = problem.extra
+    extra_items = {} if extra is None else (
+        vars(extra) if not isinstance(extra, dict) else extra
+    )
+    extra_arrays = {
+        k: _ghost_nodes(jnp.asarray(v), plan, plan.extra_node_dims.get(k, {}))
+        for k, v in extra_items.items()
+        if k in plan.extra_specs
+    }
+
+    def local_onepass(parts, extra_arrs, tracers):
+        local_extra = _local_extra_of(extra, extra_arrs)
+        dctx = _HaloContext(plan, {}, {}, local_extra, tracers)
+        decl = decl_fn(dctx)
+        row_fn = decl["row_fn"]
+        assert tuple(decl["keys"]) == keys and decl["nterms"] == nterms
+        assert not decl.get("data"), "halo one-pass: per-row data unsupported"
+
+        def pad_const(c):
+            # Exactly-local const planes are zero-padded to the x-extended
+            # plane; their halo columns are masked out of every residual.
+            c = jnp.asarray(c)
+            if c.ndim == 2 and tuple(c.shape) == (XB, Y) and hx:
+                c = jnp.pad(c, ((hx, hx), (0, 0)))
+            return c
+
+        user_consts = tuple(pad_const(c) for c in decl.get("consts", ()))
+        nuser = len(user_consts)
+
+        i_t = jax.lax.axis_index(ax_t) if ax_t else jnp.int32(0)
+        g0 = (i_t * B).astype(jnp.int32)
+        own = (i_t == 0).astype(jnp.int32)
+        meta = jnp.stack([g0, own]).reshape(1, 2)
+        rdtype = jnp.asarray(parts[keys[0]][0]).dtype
+        pmask = jnp.ones((Xe, Y), rdtype)
+        if hx:
+            mcol = (jnp.arange(Xe) >= hx) & (jnp.arange(Xe) < Xe - hx)
+            pmask = pmask * mcol[:, None].astype(rdtype)
+        if ax_x is not None:
+            x0 = jax.lax.axis_index(ax_x) * XB
+            Wxl = jnp.take(
+                Wx_full, (x0 - hx + jnp.arange(Xe)) % X, axis=0
+            )
+        else:
+            Wxl = Wx_full
+
+        def localize(p):
+            t0x, Pw, heads = {}, {}, {}
+            for j, k in enumerate(keys):
+                t0_loc, P1 = p[k]
+                a = dctx._extend_array(t0_loc, x_widths, "ncc") if hx else t0_loc
+                w = (
+                    jax.lax.dynamic_slice_in_dim(P1, g0 // 2, Tcw, axis=0)
+                    if k_t > 1
+                    else P1
+                )
+                # The `hist` fine rows preceding local row 0: each device
+                # reconstructs its TAIL slab (rows Tl-1-hist .. Tl-1, the
+                # kernel's exact operation order) and ppermutes it forward;
+                # the receiver's node-rule start skips the shared node
+                # (interior) or shifts by one (ring wrap, device 0), exactly
+                # as the field halo exchange does.
+                slab = _recon_rows_xla(
+                    a, w, range(Tl - 1 - hist, Tl), Wxl, Wy_full, f0s[j]
+                )
+                if k_t > 1:
+                    slab = jax.lax.ppermute(
+                        slab, ax_t, perm=[(q, (q + 1) % k_t) for q in range(k_t)]
+                    )
+                    start = jnp.where(i_t == 0, 1, 0)
+                else:
+                    start = 1
+                heads[k] = jax.lax.dynamic_slice_in_dim(slab, start, hist, axis=0)
+                t0x[k] = a
+                Pw[k] = w
+            return t0x, Pw, heads
+
+        (t0x, Pw, heads), vjp_loc = jax.vjp(localize, dict(parts))
+
+        def wrapped(it, _T, rows, data_rows, pv, cons):
+            pm, mt = cons[nuser], cons[nuser + 1]
+            it_g = it + mt[0, 0]
+            res = row_fn(it_g, T_glob, rows, data_rows, pv, cons[:nuser])
+            m = pm
+            if k_t > 1:
+                # The left device owns the shared ghost node (local row 0).
+                m = m * ((it != 0) | (mt[0, 1] > 0)).astype(rdtype)
+            return tuple(r * m for r in res)
+
+        sums, (dt0x, dPw, dheads, dparams) = rowwise_mg_local_loss_and_grads(
+            wrapped,
+            t0s=tuple(t0x[k] for k in keys),
+            coarse=tuple(Pw[k] for k in keys),
+            Wx=Wxl,
+            Wy=Wy_full,
+            factors0=f0s,
+            heads=tuple(heads[k] for k in keys),
+            consts=user_consts + (pmask, meta),
+            nterms=nterms,
+            hist=hist,
+            gscale=1.0 / cells,
+            interpret=interpret,
+        )
+        assert not dparams
+        (dparts,) = vjp_loc(
+            (
+                {k: dt0x[j] for j, k in enumerate(keys)},
+                {k: dPw[j] for j, k in enumerate(keys)},
+                {k: dheads[j] for j, k in enumerate(keys)},
+            )
+        )
+        sums_g = jax.lax.psum(sums, used_axes)
+        terms = [sums_g[j] / cells for j in range(nterms)]
+        out = {
+            k: (dparts[k][0], jax.lax.psum(dparts[k][1], used_axes)) for k in keys
+        }
+        loss = sum(terms)
+        norms = [jnp.sqrt(t) for t in terms]
+        return loss, terms, norms, out
+
+    parts_specs = {k: (plan.field_spec(k), P()) for k in keys}
+
+    def loss_grad_fn(arrays, tracers):
+        def prologue(arrs):
+            partials = {}
+            problem._flatten_multigrid_batched(
+                problem.state_from_arrays(arrs), partial_out=partials
+            )
+            return {
+                k: (
+                    _ghost_nodes(partials[k][0], plan, plan.field_node_dims(k)),
+                    partials[k][2],
+                )
+                for k in keys
+            }
+
+        parts, vjp_pro = jax.vjp(prologue, arrays)
+        sharded = _shard_map(
+            local_onepass,
+            mesh,
+            in_specs=(
+                parts_specs,
+                {k: plan.extra_specs[k] for k in extra_arrays},
+                jax.tree_util.tree_map(lambda _: P(), tracers),
+            ),
+            out_specs=(
+                P(),
+                [P()] * nterms,
+                [P()] * nterms,
+                {k: (plan.field_spec(k), P()) for k in keys},
+            ),
+        )
+        loss, terms, norms, dparts = sharded(parts, extra_arrays, tracers)
+        (grads,) = vjp_pro(dparts)
+        return (loss, (list(terms), list(norms))), grads
+
+    return loss_grad_fn

@@ -137,25 +137,42 @@ def _make_row_fn(mod, dt, dx, dy, kimp, kxreg, ktreg):
     return row_fn
 
 
-def operator_fused(ctx):
-    """Same discretization through the fused row-wise Pallas kernel: one
-    pass over the state in VMEM, recompute-based backward, loss terms
-    returned as Context.Raw scalars."""
+def _kernel_decl(ctx):
+    """The fused-kernel declaration shared by the kernel operators and the
+    halo one-pass builder (halo.make_halo_loss_grad_fn): the row function,
+    field keys, const arrays, and declared stencil reaches.  Evaluated
+    inside shard_map under --halo, where ``ctx.extra`` already holds the
+    localized const planes."""
     extra = ctx.extra
     args = extra.args
     dt, dx, dy = map(float, ctx.step())
     row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
     nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
-    # The Context service form runs the kernel globally under the default
-    # evaluation and per device shard (halo-extended blocks, masked sums)
-    # under --halo (see halo.py).
-    return ctx.rowwise_terms(
-        row_fn,
-        ("u", "vx", "vy"),
+    return dict(
+        row_fn=row_fn,
+        keys=("u", "vx", "vy"),
         consts=(extra.u_init, extra.u_final),
         nterms=nterms,
         hist=1,
         halox=1,
+    )
+
+
+def operator_fused(ctx):
+    """Same discretization through the fused row-wise Pallas kernel: one
+    pass over the state in VMEM, recompute-based backward, loss terms
+    returned as Context.Raw scalars."""
+    d = _kernel_decl(ctx)
+    # The Context service form runs the kernel globally under the default
+    # evaluation and per device shard (halo-extended blocks, masked sums)
+    # under --halo (see halo.py).
+    return ctx.rowwise_terms(
+        d["row_fn"],
+        d["keys"],
+        consts=d["consts"],
+        nterms=d["nterms"],
+        hist=d["hist"],
+        halox=d["halox"],
     )
 
 
@@ -286,6 +303,9 @@ def _mg_partial_depth(t0_shapes, dtype):
 _mg_loss_and_grads.supported = _mg_loss_and_grads_supported
 _mg_loss_and_grads.partial_depth = _mg_partial_depth
 operator_fused_mg.loss_and_grads = _mg_loss_and_grads
+# The halo (--halo) one-pass builder reconstructs the kernel call from this
+# declaration and runs it per device shard (halo.make_halo_loss_grad_fn).
+operator_fused_mg.kernel_decl = _kernel_decl
 
 
 def build(

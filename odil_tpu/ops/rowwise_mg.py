@@ -57,7 +57,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .rowwise import _resident_spec, _row_spec, _sumsq_vec, _weights_of, _whole_spec
 
-__all__ = ["rowwise_loss_terms_mg", "rowwise_mg_loss_and_grads"]
+__all__ = [
+    "rowwise_loss_terms_mg",
+    "rowwise_mg_loss_and_grads",
+    "rowwise_mg_local_loss_and_grads",
+]
 
 
 def _coarse_spec(shape, T, Tc, offset, k):
@@ -221,9 +225,20 @@ def _forward_mg(row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, param
 
 def _backward_mg(
     row_fn, nterms, hist, f0s, interpret, t0s, coarse, Wx, Wy, params, data, consts, g,
-    with_sums=False, lvl2=None,
+    with_sums=False, lvl2=None, wraps_in=None, emit_dwraps=False,
 ):
     """Gradients w.r.t. (t0s, coarse, params) of sum_k g[k] * S[k].
+
+    wraps_in/emit_dwraps are the LOCAL-BLOCK (--halo) form: ``wraps_in``
+    supplies the `hist` fine rows preceding row 0 as external residents
+    (under halo these are the ppermuted head rows of the ring-predecessor
+    device, not this block's own periodic wrap), and ``emit_dwraps=True``
+    emits their cotangents as an extra output instead of folding them into
+    the last rows (they belong to the predecessor; the caller transposes
+    the exchange).  The kernel itself is then oblivious to sharding: the
+    grid covers the local rows, ``coarse`` is the device's time-window of
+    the replicated level-1 partial, and ``Wx`` may be rectangular
+    (x-halo-extended rows of the global prolongation matrix).
 
     lvl2 = (t1s, f1s, W1x, W1y) switches on TWO-level fusion: ``coarse``
     is then the level-2 Horner partial P2, and level-1 rows
@@ -263,10 +278,13 @@ def _backward_mg(
     gmat = jnp.reshape(g, (1, nterms))
     if lvl2 is None:
         Tc = coarse[0].shape[0]  # P1 rows (the dc output target count).
-        wraps = [
-            _recon_rows_xla(t0s[f], coarse[f], range(T - hist, T), Wx, Wy, f0s[f])
-            for f in range(nf)
-        ] if hist else []
+        if wraps_in is not None:
+            wraps = list(wraps_in) if hist else []
+        else:
+            wraps = [
+                _recon_rows_xla(t0s[f], coarse[f], range(T - hist, T), Wx, Wy, f0s[f])
+                for f in range(nf)
+            ] if hist else []
         p1heads = []
         t1s = f1s = W1x = W1y = None
         p1_shape = coarse[0].shape
@@ -320,12 +338,18 @@ def _backward_mg(
         pos += 3 * nf + np_
         out_sums_ref = refs[pos] if with_sums else None
         pos += 1 if with_sums else 0
+        if emit_dwraps:
+            # Head-row cotangents leave the kernel as accumulated outputs
+            # (they target the predecessor device's rows, not this block's).
+            wcot_refs = refs[pos : pos + nf]
+            pos += nf
         ring_refs = refs[pos : pos + (nf if hist else 0)]
         pos += nf if hist else 0
         acc_refs = refs[pos : pos + nf]
         pos += nf
-        wcot_refs = refs[pos : pos + (nf if hist else 0)]
-        pos += nf if hist else 0
+        if not emit_dwraps:
+            wcot_refs = refs[pos : pos + (nf if hist else 0)]
+            pos += nf if hist else 0
         p1ring_refs = refs[pos:]
 
         i = pl.program_id(0)
@@ -451,7 +475,7 @@ def _backward_mg(
             wt = 0.5 * (t % 2).astype(t0s[0].dtype)
             for f in range(nf):
                 complete = acc_refs[f][t % adepth]
-                if hist:
+                if hist and not emit_dwraps:
                     wrapc = wcot_refs[f][jnp.clip(i - T, 0, hist - 1)]
                     complete = jnp.where(i >= T, complete + wrapc, complete)
                 out_t0_refs[f][0] = f0s[f] * complete
@@ -537,19 +561,24 @@ def _backward_mg(
         + [_coarse_spec(p1_shape, T, Tc, -hist, 1) for _ in range(nf)]
         + [_whole_spec(p.shape) for p in params]
         + ([_whole_spec((1, nterms))] if with_sums else [])
+        + ([_whole_spec((hist,) + tuple(t.shape[1:])) for t in t0s] if emit_dwraps else [])
     )
     out_shapes = (
         [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in t0s]
         + [jax.ShapeDtypeStruct(p1_shape, t0s[0].dtype)] * (2 * nf)
         + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
         + ([jax.ShapeDtypeStruct((1, nterms), t0s[0].dtype)] if with_sums else [])
+        + ([
+            jax.ShapeDtypeStruct((hist,) + tuple(t.shape[1:]), t.dtype) for t in t0s
+        ] if emit_dwraps else [])
     )
     scratch = [
         pltpu.VMEM((hist,) + tuple(t.shape[1:]), t.dtype) for t in (t0s if hist else ())
     ] + [
         pltpu.VMEM((adepth,) + tuple(t.shape[1:]), t.dtype) for t in t0s
     ] + [
-        pltpu.VMEM((hist,) + tuple(t.shape[1:]), t.dtype) for t in (t0s if hist else ())
+        pltpu.VMEM((hist,) + tuple(t.shape[1:]), t.dtype)
+        for t in (t0s if hist and not emit_dwraps else ())
     ] + ([
         pltpu.VMEM((2,) + tuple(p1_shape[1:]), t0s[0].dtype) for _ in t0s
     ] if lvl2 is not None else [])
@@ -568,9 +597,14 @@ def _backward_mg(
     dparams = tuple(outs[3 * nf : 3 * nf + np_])
     zero_row = lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[1:]])  # noqa: E731
     dcoarse = tuple(a + zero_row(b) for a, b in zip(dc0, dc1))
+    pos = 3 * nf + np_
+    sums_out = outs[pos][0] if with_sums else None
+    pos += 1 if with_sums else 0
+    dwraps = tuple(outs[pos : pos + nf]) if emit_dwraps else None
+    rest = (() if dwraps is None else (dwraps,))
     if with_sums:
-        return dt0, dcoarse, dparams, outs[-1][0]
-    return dt0, dcoarse, dparams
+        return (dt0, dcoarse, dparams, sums_out) + rest
+    return (dt0, dcoarse, dparams) + rest
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
@@ -740,6 +774,81 @@ def rowwise_mg_loss_and_grads(
         )
     terms = tuple(sums[k] / cells for k in range(nterms))
     return terms, (dt0, dt1, tuple(dP2), dparams)
+
+
+def rowwise_mg_local_loss_and_grads(
+    row_fn,
+    t0s,
+    coarse,
+    Wx,
+    Wy,
+    factors0,
+    heads,
+    params=(),
+    data=(),
+    consts=(),
+    nterms=1,
+    hist=1,
+    gscale=1.0,
+    interpret=None,
+):
+    """One-pass fused loss sums AND gradients on ONE device's local block --
+    the ``--halo`` (shard_map) form of ``rowwise_mg_loss_and_grads``
+    (halo.make_halo_loss_grad_fn builds the exchanges around it).
+
+    t0s:    per-field level-0 term blocks, (Tl, Xe, Y): the device's
+            ghost-noded time rows, x-halo-extended planes.
+    coarse: per-field time-windows of the replicated level-1 Horner
+            partial, (Tcw, CX, CY) with window row 0 = global row g0//2.
+    Wx:     (Xe, CX) rows of the global x-prolongation matrix gathered at
+            the block's global x indices (periodic); Wy: (Y, CY) full.
+    heads:  per-field (hist, Xe, Y) fine rows PRECEDING local row 0
+            (ppermuted from the ring predecessor; ascending global order).
+    gscale: the 1/cells_global loss scaling (cells of the GLOBAL grid --
+            the psum of per-device sums divides by the same count).
+
+    The row function must already be wrapped for locality (global row
+    offsets, halo/duplicate masking).  Returns
+    ``(sums, (dt0, dcoarse, dheads, dparams))``: per-term local sums of
+    squares (psum these), cotangents of the LOCAL inputs (the caller
+    transposes the localization -- ghost-noding, halo exchange, coarse
+    windowing -- via ``jax.vjp``).  Requirements: 3D blocks, the local
+    row count Tl odd with Tl-1 the even owned-cell block, Tcw =
+    (Tl-1)//2 + 1."""
+    from .rowwise import _on_tpu
+
+    t0s = tuple(jnp.asarray(t) for t in t0s)
+    coarse = tuple(jnp.asarray(c) for c in coarse)
+    heads = tuple(jnp.asarray(h) for h in heads)
+    Tl = t0s[0].shape[0]
+    Tcw = coarse[0].shape[0]
+    assert t0s[0].ndim == 3, "mg-fused kernel supports 3D (t, x, y) fields"
+    assert Tl % 2 == 1 and Tcw == (Tl - 1) // 2 + 1, (Tl, Tcw)
+    assert Tl > 2 * hist, f"local rows Tl={Tl} too short for hist={hist} ring"
+    assert Wx.shape == (t0s[0].shape[1], coarse[0].shape[1]), (Wx.shape,)
+    for h in heads:
+        assert h.shape == (hist,) + tuple(t0s[0].shape[1:]), (h.shape,)
+    if interpret is None:
+        interpret = not _on_tpu()
+    dtype = t0s[0].dtype
+    f0s = tuple(float(f) for f in factors0)
+    g = jnp.full((nterms,), gscale, dtype)
+    args = (
+        row_fn, nterms, hist, f0s, interpret, t0s, coarse,
+        jnp.asarray(Wx, dtype), jnp.asarray(Wy, dtype),
+        tuple(jnp.asarray(p) for p in params),
+        tuple(jnp.asarray(d) for d in data),
+        tuple(jnp.asarray(c) for c in consts),
+        g,
+    )
+    if hist:
+        dt0, dcoarse, dparams, sums, dheads = _backward_mg(
+            *args, with_sums=True, wraps_in=heads, emit_dwraps=True
+        )
+    else:
+        dt0, dcoarse, dparams, sums = _backward_mg(*args, with_sums=True)
+        dheads = ()
+    return sums, (dt0, dcoarse, dheads, dparams)
 
 
 def rowwise_loss_terms_mg(

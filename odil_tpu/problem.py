@@ -214,7 +214,7 @@ class Problem:
             loss_fn = jax.checkpoint(loss_fn)
         return loss_fn, arrays0
 
-    def make_loss_grad_fn(self, state):
+    def make_loss_grad_fn(self, state, halo=False):
         """Optimizer-path product: a pure function
         ``fn(arrays, tracers) -> ((loss, (terms, norms)), grads)`` -- the
         exact signature of ``jax.value_and_grad(loss_fn, has_aux=True)``.
@@ -228,7 +228,15 @@ class Problem:
         for free.  Valid because ``loss_terms`` always composes
         loss = sum of mean-squared terms (fixed term weights).  Returns
         None when no fused path applies -- callers fall back to
-        ``jax.value_and_grad(make_loss_fn(...))``."""
+        ``jax.value_and_grad(make_loss_fn(...))``.
+
+        halo=True builds the shard_map form instead (one per-shard kernel
+        on halo-extended local blocks, halo.make_halo_loss_grad_fn); the
+        operator must expose a ``kernel_decl`` declaration."""
+        if halo:
+            from .halo import make_halo_loss_grad_fn
+
+            return make_halo_loss_grad_fn(self, state)
         fused = getattr(self.operator, "loss_and_grads", None)
         if (
             fused is None

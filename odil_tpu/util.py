@@ -239,10 +239,12 @@ def optimize_grad(args, optname, problem, state, callback=None, **kwargs):
     epochs = args.epochs - args.epoch_start
     task_epochs = None if every_epoch else compute_task_epochs(args, args.epoch_start, epochs)
     # Fused one-pass loss+grad (skips the forward kernel) when the operator
-    # provides it and no halo/shard_map wrapper intervenes.
-    loss_grad_fn = None
-    if not getattr(args, "halo", 0):
-        loss_grad_fn = problem.make_loss_grad_fn(state)
+    # provides it; under --halo the shard_map form runs the one-pass kernel
+    # per device shard (halo.make_halo_loss_grad_fn; None falls back to
+    # value_and_grad of the halo loss_fn).
+    loss_grad_fn = problem.make_loss_grad_fn(
+        state, halo=bool(getattr(args, "halo", 0))
+    )
     opt.bind(
         loss_fn,
         tracers=problem.tracers,

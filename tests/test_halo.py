@@ -348,3 +348,144 @@ def test_halo_trains_with_scanned_adam():
     arrays, optinfo = opt.run(arrays, epochs=50, lr=0.05)
     loss_end = float(loss_fn(arrays, problem.tracers)[0])
     assert loss_end < 0.5 * loss_start, (loss_start, loss_end)
+
+
+def _run_halo_onepass(problem, state):
+    """((loss, terms, norms), grads) through the halo one-pass builder."""
+    lg = problem.make_loss_grad_fn(state, halo=True)
+    assert lg is not None
+    arrays = problem.domain.arrays_from_state(state)
+    (loss, (terms, norms)), grads = jax.jit(lg)(arrays, problem.tracers)
+    return (
+        np.asarray(loss),
+        list(map(np.asarray, terms)),
+        list(map(np.asarray, norms)),
+        [np.asarray(g) for g in grads],
+    )
+
+
+@pytest.mark.parametrize("spec,part", [
+    ("x:4", {"x": "x"}),
+    ("t:4,x:2", {"t": "t", "x": "x"}),
+    ("t:8", {"t": "t"}),
+])
+def test_halo_onepass_mg_matches_gspmd(spec, part):
+    """The MG-fused ONE-PASS loss+grad kernel composes with halo mode
+    (halo.make_halo_loss_grad_fn): per device shard, fine rows are
+    reconstructed in VMEM from the sharded level-0 term plus a time-window
+    of the replicated level-1 partial, head rows ride a ppermute of the
+    predecessor's reconstruction, and the backward sweep emits loss sums
+    and cotangents together.  Must equal the replicated GSPMD
+    value_and_grad evaluation to roundoff (f64 on the CPU mesh)."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec(spec)
+    problem, state, extra = vt.build(
+        nt=16, nx=16, ny=16, kernel="pallas_mg", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition=part,
+    )
+    loss1, terms1, norms1, grads1 = _run_halo_onepass(problem, state)
+
+    loss_fn0, arrays0 = problem.make_loss_fn(state)
+    (loss0, (terms0, _)), grads0 = jax.jit(
+        jax.value_and_grad(loss_fn0, has_aux=True)
+    )(arrays0, problem.tracers)
+    np.testing.assert_allclose(loss1, np.asarray(loss0), rtol=1e-12)
+    for a, b in zip(terms0, terms1):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-12)
+    assert len(grads0) == len(grads1)
+    for a, b in zip(grads0, grads1):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-12, atol=1e-13 * max(1.0, np.max(np.abs(a)))
+        )
+
+
+def test_halo_onepass_mg_regularized_terms():
+    """All six loss terms (kimp + x/t velocity regularizers) through the
+    halo one-pass path, with an uneven mesh (t:2,x:4)."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("t:2,x:4")
+    problem, state, extra = vt.build(
+        nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition={"t": "t", "x": "x"},
+        kxreg=0.01, ktreg=0.01,
+    )
+    loss1, terms1, norms1, grads1 = _run_halo_onepass(problem, state)
+    loss_fn0, arrays0 = problem.make_loss_fn(state)
+    (loss0, (terms0, _)), grads0 = jax.jit(
+        jax.value_and_grad(loss_fn0, has_aux=True)
+    )(arrays0, problem.tracers)
+    np.testing.assert_allclose(loss1, np.asarray(loss0), rtol=1e-12)
+    assert len(terms1) == 6
+    for a, b in zip(grads0, grads1):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-12, atol=1e-13 * max(1.0, np.max(np.abs(a)))
+        )
+
+
+def test_halo_onepass_gates():
+    """The one-pass builder declines (returns None) outside its envelope:
+    multigrid off, plain-kernel operators without a declaration."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("t:4")
+    problem, state, extra = vt.build(
+        nt=16, nx=16, ny=16, kernel="pallas_mg", multigrid=False,
+        dtype=np.float64, mesh=mesh, partition={"t": "t"},
+    )
+    assert problem.make_loss_grad_fn(state, halo=True) is None
+
+    problem2, state2, extra2 = vt.build(
+        nt=16, nx=16, ny=16, kernel="pallas", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition={"t": "t"},
+    )
+    assert problem2.make_loss_grad_fn(state2, halo=True) is None
+
+
+def test_halo_onepass_trains_with_scanned_adam():
+    """The halo one-pass binds into the scanned Adam optimizer as
+    loss_grad_fn and reproduces the replicated fused training trajectory."""
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.optim import make_optimizer
+
+    def train(mesh, part, halo):
+        problem, state, extra = vt.build(
+            nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True,
+            dtype=np.float64, mesh=mesh, partition=part,
+        )
+        from odil_tpu.halo import make_halo_loss_fn
+
+        if halo:
+            loss_fn, arrays = make_halo_loss_fn(problem, state)
+            lg = problem.make_loss_grad_fn(state, halo=True)
+            assert lg is not None
+        else:
+            loss_fn, arrays = problem.make_loss_fn(state)
+            lg = None
+        opt = make_optimizer("adamn", dtype=problem.domain.dtype, mod=problem.domain.mod)
+        opt.bind(loss_fn, tracers=problem.tracers, task_epochs=[0, 20],
+                 names=None, loss_grad_fn=lg)
+        arrays, optinfo = opt.run(arrays, epochs=20, lr=0.02)
+        return float(loss_fn(arrays, problem.tracers)[0])
+
+    mesh = parallel.mesh_from_spec("t:2,x:2")
+    l_halo = train(mesh, {"t": "t", "x": "x"}, halo=True)
+    l_ref = train(None, {}, halo=False)
+    np.testing.assert_allclose(l_halo, l_ref, rtol=1e-10)
+
+
+def test_halo_kernel_terms_with_unused_mesh_axis():
+    """A mesh axis that partitions no grid dimension replicates every block;
+    kernel (Raw) term sums must not be psum'd across it (regression: they
+    were overcounted by the axis size)."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("t:2,r:4")
+    problem, state, extra = vt.build(
+        nt=8, nx=16, ny=16, kernel="pallas", multigrid=False,
+        dtype=np.float64, mesh=mesh, partition={"t": "t"},
+    )
+    _compare_loss_and_grads(problem, state)
