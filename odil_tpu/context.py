@@ -59,6 +59,11 @@ class Context:
         # Recorded ctx.rowwise_terms calls: halo.py's plan discovery reads
         # these to size the per-shard halo exchanges of kernel operators.
         self.rowwise_calls = []
+        # Deferred-kernel mode (Problem's generic one-pass loss+grad):
+        # rowwise_terms records its full argument set here and returns
+        # placeholder Raw terms instead of running the forward kernel.
+        self.rowwise_defer = False
+        self.rowwise_deferred = []
         # Descriptor (key, shift, loc) -> resolved sample array.
         self.desc_to_array = dict()
         # Descriptors needing a full Jacobian (Array / NeuralNet unknowns).
@@ -171,6 +176,35 @@ class Context:
         self.rowwise_calls.append(
             {"keys": tuple(keys), "hist": hist, "halox": halox, "nterms": nterms}
         )
+        if self.rowwise_defer:
+            # Generic one-pass mode (Problem.make_loss_grad_fn): record the
+            # full call -- traced arrays AND the static row function/config
+            # -- and return placeholders; the caller runs the one-pass
+            # backward kernel (rowwise_loss_and_grads) on the recorded
+            # inputs and transposes everything through jax.vjp.
+            idx = len(self.rowwise_deferred)
+            self.rowwise_deferred.append(
+                dict(
+                    row_fn=row_fn,
+                    keys=tuple(keys),
+                    fields=fields,
+                    params=tuple(params),
+                    data=tuple(data),
+                    consts=tuple(consts),
+                    nterms=nterms,
+                    hist=hist,
+                    halox=halox,
+                    block_rows=block_rows,
+                    stream=stream,
+                )
+            )
+            out = []
+            for t in range(nterms):
+                r = Context.Raw(None)
+                r.from_rowwise = True
+                r.deferred = (idx, t)
+                out.append(r)
+            return out
         from .ops.rowwise import rowwise_loss_terms
 
         terms = rowwise_loss_terms(

@@ -45,7 +45,12 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 
-__all__ = ["rowwise_sumsq", "rowwise_loss_terms", "rowwise_loss_sums"]
+__all__ = [
+    "rowwise_sumsq",
+    "rowwise_loss_terms",
+    "rowwise_loss_sums",
+    "rowwise_loss_and_grads",
+]
 
 
 
@@ -134,12 +139,18 @@ def _forward(row_fn, nterms, hist, interpret, fields, params, data, consts):
     return out[0]
 
 
-def _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g):
+def _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g,
+              with_sums=False):
     """d(sum_k g[k] * S[k]) / d(fields, params).
 
     Field row i receives cotangents from residual rows j = (i + o) % T
     (o = 0..hist) through their offset-o sample; param gradients are
-    accumulated from each program's own residual row into resident blocks."""
+    accumulated from each program's own residual row into resident blocks.
+
+    with_sums=True additionally accumulates the per-term sums of squares
+    S[k] (each program evaluates its own residual row at offset 0 anyway),
+    turning this pass into a fused one-pass loss+gradient evaluation that
+    makes the forward kernel redundant for training steps."""
     T = fields[0].shape[0]
     nf, np_, nd = len(fields), len(params), len(data)
     span = 2 * hist + 1  # Offsets -hist..hist relative to the program row.
@@ -157,7 +168,8 @@ def _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g):
         pos += np_
         g_ref = refs[pos]
         out_field_refs = refs[pos + 1 : pos + 1 + nf]
-        out_param_refs = refs[pos + 1 + nf :]
+        out_param_refs = refs[pos + 1 + nf : pos + 1 + nf + np_]
+        out_sums_ref = refs[pos + 1 + nf + np_] if with_sums else None
 
         i = pl.program_id(0)
         consts_v = tuple(r[...] for r in const_refs)
@@ -193,6 +205,13 @@ def _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g):
                 # once: at the program that owns it.
                 for p in range(np_):
                     param_accs[p] = param_accs[p] + cots[nf * (hist + 1) + p]
+                if with_sums:
+                    # Residual row i is ours: accumulate its loss sums.
+                    @pl.when(i == 0)
+                    def _():
+                        out_sums_ref[0, :] = jnp.zeros((nterms,), out_sums_ref.dtype)
+
+                    out_sums_ref[0, :] += _sumsq_vec(res)
         for f in range(nf):
             out_field_refs[f][0] = accs[f]
         for p in range(np_):
@@ -217,10 +236,16 @@ def _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g):
         + list(params)
         + [gmat]
     )
-    out_specs = [_row_spec(f.shape, T, 0) for f in fields] + [_whole_spec(p.shape) for p in params]
-    out_shapes = [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields] + [
-        jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params
-    ]
+    out_specs = (
+        [_row_spec(f.shape, T, 0) for f in fields]
+        + [_whole_spec(p.shape) for p in params]
+        + ([_whole_spec((1, nterms))] if with_sums else [])
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields]
+        + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
+        + ([jax.ShapeDtypeStruct((1, nterms), fields[0].dtype)] if with_sums else [])
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(T,),
@@ -229,6 +254,8 @@ def _backward(row_fn, nterms, hist, interpret, fields, params, data, consts, g):
         out_shape=out_shapes,
         interpret=interpret,
     )(*inputs)
+    if with_sums:
+        return tuple(outs[:nf]), tuple(outs[nf : nf + np_]), outs[-1][0]
     return tuple(outs[:nf]), tuple(outs[nf:])
 
 
@@ -323,10 +350,15 @@ def _forward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, c
     return out[0]
 
 
-def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, g):
+def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, consts, g,
+                      with_sums=False):
     """Program p owns output rows pB..pB+B-1, accumulating cotangents from
     its own residual block plus the first `hist` residual rows of block p+1
-    (the rows whose stencils reach back into this block)."""
+    (the rows whose stencils reach back into this block).
+
+    with_sums=True also accumulates the per-term sums of squares from each
+    block's own residual rows (spill rows belong to the next block), making
+    this a fused one-pass loss+gradient evaluation."""
     T = fields[0].shape[0]
     nb = T // B
     nf, np_, nd = len(fields), len(params), len(data)
@@ -344,7 +376,8 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
         pos += np_
         g_ref = refs[pos]
         out_field_refs = refs[pos + 1 : pos + 1 + nf]
-        out_param_refs = refs[pos + 1 + nf :]
+        out_param_refs = refs[pos + 1 + nf : pos + 1 + nf + np_]
+        out_sums_ref = refs[pos + 1 + nf + np_] if with_sums else None
 
         p = pl.program_id(0)
         consts_v = tuple(r[...] for r in const_refs)
@@ -362,7 +395,7 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
         def row_cotangents(it_i, flat_in, data_i):
             res, vjp_fn = jax.vjp(lambda *a: residuals_of(it_i, a, data_i), *flat_in)
             w = _weights_of(gvec, res, nterms)
-            return vjp_fn(w)
+            return res, vjp_fn(w)
 
         # Residual row s of this block reads input rows s - m: index s - m of
         # the own block (field_refs[3f+1]), or B + s - m of the previous
@@ -374,31 +407,39 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
         for f in range(nf):
             out_field_refs[f][...] = jnp.zeros((B,) + fields[f].shape[1:], fields[f].dtype)
 
-        def accumulate_row(s, read, paccs, static_s=None):
-            """Processes residual row `s`; returns updated param carries.
-            Stores go to target rows s - o >= 0 (earlier rows belong to the
-            previous block and arrive via its spill pass)."""
+        def accumulate_row(s, read, carry, static_s=None):
+            """Processes residual row `s`; returns updated (param, sums)
+            carries.  Stores go to target rows s - o >= 0 (earlier rows
+            belong to the previous block and arrive via its spill pass)."""
+            paccs, sacc = carry
             flat_in = tuple(
                 read(f, s - m) for f in range(nf) for m in range(hist + 1)
             ) + tuple(params_v)
             data_i = tuple(data_refs[2 * d][s] for d in range(nd))
-            c = row_cotangents(p * B + s, flat_in, data_i)
+            res, c = row_cotangents(p * B + s, flat_in, data_i)
             for f in range(nf):
                 omax = hist + 1 if static_s is None else min(static_s, hist) + 1
                 for o in range(omax):
                     t = s - o
                     out_field_refs[f][t] = out_field_refs[f][t] + c[f * (hist + 1) + o]
-            return tuple(pa + c[nf * (hist + 1) + q] for q, pa in enumerate(paccs))
+            paccs = tuple(pa + c[nf * (hist + 1) + q] for q, pa in enumerate(paccs))
+            if with_sums:
+                sacc = sacc + _sumsq_vec(res)
+            return paccs, sacc
 
-        paccs = tuple(jnp.zeros(q.shape, q.dtype) for q in params)
+        carry = (
+            tuple(jnp.zeros(q.shape, q.dtype) for q in params),
+            jnp.zeros((nterms,), fields[0].dtype),
+        )
         for s in range(min(hist, B)):
             read = lambda f, j: field_refs[3 * f + 1][j] if j >= 0 else field_refs[3 * f][B + j]
-            paccs = accumulate_row(s, read, paccs, static_s=s)
+            carry = accumulate_row(s, read, carry, static_s=s)
 
-        def body(s, paccs):
-            return accumulate_row(s, lambda f, j: field_refs[3 * f + 1][j], paccs)
+        def body(s, carry):
+            return accumulate_row(s, lambda f, j: field_refs[3 * f + 1][j], carry)
 
-        param_accs = list(jax.lax.fori_loop(hist, B, body, paccs))
+        paccs_out, sums_acc = jax.lax.fori_loop(hist, B, body, carry)
+        param_accs = list(paccs_out)
 
         # Spill: the first `hist` residual rows of block p+1 (their stencils
         # reach back into this block's output rows).
@@ -411,7 +452,7 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
             data_i = tuple(data_refs[2 * d + 1][s2] for d in range(nd))
             # Global index of the spilled row (block p+1 wraps mod nb).
             it2 = ((p + 1) % nb) * B + s2
-            c = row_cotangents(it2, flat_in, data_i)
+            _res2, c = row_cotangents(it2, flat_in, data_i)
             for f in range(nf):
                 for o in range(s2 + 1, hist + 1):
                     k = B + s2 - o  # Static target row in this block.
@@ -424,6 +465,14 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
                 out_param_refs[q][...] = jnp.zeros(params[q].shape, params[q].dtype)
 
             out_param_refs[q][...] += param_accs[q]
+
+        if with_sums:
+
+            @pl.when(p == 0)
+            def _():
+                out_sums_ref[0, :] = jnp.zeros((nterms,), out_sums_ref.dtype)
+
+            out_sums_ref[0, :] += sums_acc
 
     in_specs = []
     inputs = []
@@ -444,12 +493,16 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
     in_specs.append(_whole_spec((1, nterms)))
     inputs.append(gmat)
 
-    out_specs = [_block_spec(f.shape, B, 0, nb) for f in fields] + [
-        _whole_spec(p.shape) for p in params
-    ]
-    out_shapes = [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields] + [
-        jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params
-    ]
+    out_specs = (
+        [_block_spec(f.shape, B, 0, nb) for f in fields]
+        + [_whole_spec(p.shape) for p in params]
+        + ([_whole_spec((1, nterms))] if with_sums else [])
+    )
+    out_shapes = (
+        [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields]
+        + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
+        + ([jax.ShapeDtypeStruct((1, nterms), fields[0].dtype)] if with_sums else [])
+    )
     outs = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -458,6 +511,8 @@ def _backward_blocked(row_fn, nterms, hist, interpret, B, fields, params, data, 
         out_shape=out_shapes,
         interpret=interpret,
     )(*inputs)
+    if with_sums:
+        return tuple(outs[:nf]), tuple(outs[nf : nf + np_]), outs[-1][0]
     return tuple(outs[:nf]), tuple(outs[nf:])
 
 
@@ -984,3 +1039,79 @@ def rowwise_loss_sums(
         stream=stream,
         _sums=True,
     )
+
+
+def rowwise_loss_and_grads(
+    row_fn,
+    fields,
+    params=(),
+    data=(),
+    consts=(),
+    nterms=1,
+    hist=1,
+    interpret=None,
+    block_rows=None,
+    gscale=None,
+):
+    """One-pass fused loss sums AND gradients: the backward kernel
+    accumulates the per-term sums of squares while emitting cotangents of
+    (fields, params) for the fixed loss composition ``sum_k gscale * S_k``
+    -- so training steps skip the forward kernel entirely (the generic
+    analogue of ops/rowwise_mg's fused path, for operators without
+    multigrid partials; Problem.make_loss_grad_fn builds on it).
+
+    gscale: the per-term loss weight (1/cells for the mean composition
+    every Problem loss uses); defaults to 1/(T*plane).
+
+    Returns (sums, dfields, dparams) with dfields in the ORIGINAL field
+    shapes, or None when the fused kernel path would not run -- off-TPU
+    (pass interpret=True to force the interpreter), 64-bit dtypes, or a
+    backward working set beyond VMEM -- in which case callers fall back to
+    ``jax.value_and_grad`` of the usual loss (which routes to the XLA or
+    x-tiled forms).  data/consts are non-differentiable, exactly as in the
+    custom-vjp path.  Not itself differentiable (it IS the gradient)."""
+    fields = tuple(jnp.asarray(f) for f in fields)
+    params = tuple(jnp.asarray(p) for p in params)
+    data = tuple(jnp.asarray(d) for d in data)
+    consts = tuple(jnp.asarray(c) for c in consts)
+    T = fields[0].shape[0]
+    plane = int(np.prod(fields[0].shape[1:]))
+    plane_bytes = plane * fields[0].dtype.itemsize
+    if gscale is None:
+        gscale = 1.0 / (T * plane)
+    if interpret is None:
+        vmem = _backward_vmem_estimate(fields, params, data, consts, nterms, hist)
+        if not _on_tpu() or vmem > 14 * 1024 * 1024 or fields[0].dtype.itemsize > 4:
+            return None
+        interpret = False
+    g = jnp.full((nterms,), gscale, fields[0].dtype)
+    orig_ndim = fields[0].ndim
+    if orig_ndim == 2:
+        # (T, N) -> (T, 1, N): TPU block shapes need a unit sublane axis.
+        fields2 = tuple(f[:, None, :] for f in fields)
+        data2 = tuple(d[:, None, :] if d.ndim == 2 else d for d in data)
+        consts2 = tuple(c[None, :] if c.ndim == 1 else c for c in consts)
+
+        def row_fn2(it, T_, rows, data_rows, pv, cons):
+            rows1 = tuple(tuple(p[0] for p in f_rows) for f_rows in rows)
+            data1 = tuple(p[0] if d.ndim == 2 else p for p, d in zip(data_rows, data))
+            cons1 = tuple(c[0] if o.ndim == 1 else c for c, o in zip(cons, consts))
+            return tuple(r[None, :] for r in row_fn(it, T_, rows1, data1, pv, cons1))
+
+        rf, flds, dat, cns = row_fn2, fields2, data2, consts2
+    else:
+        rf, flds, dat, cns = row_fn, fields, data, consts
+    if block_rows is None:
+        block_rows = _auto_block_rows(T, plane_bytes, hist)
+    if block_rows > 1 and T % block_rows == 0 and block_rows >= hist:
+        dfields, dparams, sums = _backward_blocked(
+            rf, nterms, hist, interpret, block_rows, flds, params, dat, cns, g,
+            with_sums=True,
+        )
+    else:
+        dfields, dparams, sums = _backward(
+            rf, nterms, hist, interpret, flds, params, dat, cns, g, with_sums=True
+        )
+    if orig_ndim == 2:
+        dfields = tuple(d[:, 0, :] for d in dfields)
+    return sums, dfields, dparams

@@ -21,6 +21,7 @@ single ``lax.scan`` on device.
 import math
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .context import Context
@@ -214,7 +215,7 @@ class Problem:
             loss_fn = jax.checkpoint(loss_fn)
         return loss_fn, arrays0
 
-    def make_loss_grad_fn(self, state, halo=False):
+    def make_loss_grad_fn(self, state, halo=False, interpret=None):
         """Optimizer-path product: a pure function
         ``fn(arrays, tracers) -> ((loss, (terms, norms)), grads)`` -- the
         exact signature of ``jax.value_and_grad(loss_fn, has_aux=True)``.
@@ -232,11 +233,24 @@ class Problem:
 
         halo=True builds the shard_map form instead (one per-shard kernel
         on halo-extended local blocks, halo.make_halo_loss_grad_fn); the
-        operator must expose a ``kernel_decl`` declaration."""
+        operator must expose a ``kernel_decl`` declaration.
+
+        Routes, most-fused first: (1) the multigrid-partial fused pass
+        (operator.loss_and_grads, also fusing the finest Horner step);
+        (2) the GENERIC one-pass for any operator whose kernels run
+        through ``ctx.rowwise_terms`` (deferred-call replay +
+        ops/rowwise.rowwise_loss_and_grads; non-kernel terms keep exact
+        gradients through the same ``jax.vjp``)."""
         if halo:
             from .halo import make_halo_loss_grad_fn
 
             return make_halo_loss_grad_fn(self, state)
+        fn = self._make_mg_loss_grad_fn(state)
+        if fn is not None:
+            return fn
+        return self._make_onepass_loss_grad_fn(state, interpret=interpret)
+
+    def _make_mg_loss_grad_fn(self, state):
         fused = getattr(self.operator, "loss_and_grads", None)
         if (
             fused is None
@@ -300,6 +314,142 @@ class Problem:
             norms = [mod.sqrt(t) for t in terms]
             (grads,) = vjp_pro({k: tuple(dparts[k]) for k in parts})
             return (loss, (list(terms), norms)), grads
+
+        return loss_grad_fn
+
+    def _make_onepass_loss_grad_fn(self, state, interpret=None):
+        """Generic one-pass fused loss+grad: works for ANY operator whose
+        kernel terms come through ``ctx.rowwise_terms`` (wave, heat with
+        NeuralNet params and imposed data, veltracer without multigrid
+        partials).  The operator runs once in deferred mode inside
+        ``jax.vjp``: kernel calls record their traced inputs and return
+        placeholders, non-kernel terms (scalar penalties, weight
+        regularizers) come out as plain values.  Each recorded call then
+        runs the one-pass backward kernel (rowwise_loss_and_grads: per-term
+        sums + cotangents in one sweep, no forward kernel), and all
+        cotangents -- kernel fields/params plus the analytic mean-square
+        cotangents of the non-kernel terms -- fold back through the single
+        ``jax.vjp``.  Valid because ``loss_terms`` always composes
+        loss = sum of per-term means with fixed weights.
+
+        Returns None when no kernel call is recorded or any call falls
+        outside the kernel envelope (off-TPU unless ``interpret=True``,
+        64-bit dtype, streaming variant, beyond-VMEM working set); callers
+        fall back to ``jax.value_and_grad``."""
+        import numpy as _np
+
+        self._capture_structure(state)
+        arrays0 = self.domain.arrays_from_state(state)
+        from .ops.rowwise import _backward_vmem_estimate, _on_tpu
+
+        probe_recs = []
+
+        def probe(arrays, tracers):
+            st = self._flatten_multigrid_batched(self.state_from_arrays(arrays))
+            ctx = Context(self.domain, st, extra=self.extra, tracers=tracers)
+            ctx.rowwise_defer = True
+            self._run_operator(ctx)
+            probe_recs.extend(ctx.rowwise_deferred)
+            return 0.0
+
+        try:
+            jax.eval_shape(probe, arrays0, self.tracers)
+        except Exception:
+            return None
+        if not probe_recs or any(r["stream"] for r in probe_recs):
+            return None
+        if interpret is None:
+            if not _on_tpu() or _np.dtype(self.domain.dtype).itemsize > 4:
+                return None
+            for r in probe_recs:
+                vmem = _backward_vmem_estimate(
+                    r["fields"], r["params"], r["data"], r["consts"],
+                    r["nterms"], r["hist"],
+                )
+                if vmem > 14 * 1024 * 1024:
+                    return None
+        from .ops.rowwise import rowwise_loss_and_grads
+
+        mod = self.domain.mod
+
+        def loss_grad_fn(arrays, tracers):
+            recs = []
+            layout = []
+
+            def split(arrs):
+                st = self._flatten_multigrid_batched(self.state_from_arrays(arrs))
+                ctx = Context(self.domain, st, extra=self.extra, tracers=tracers)
+                ctx.rowwise_defer = True
+                _, values = self._run_operator(ctx)
+                del recs[:], layout[:]
+                recs.extend(ctx.rowwise_deferred)
+                others = []
+                for v in values:
+                    if isinstance(v, Context.Raw):
+                        if getattr(v, "deferred", None) is not None:
+                            layout.append(("k",) + v.deferred)
+                        else:
+                            layout.append(("raw", len(others)))
+                            others.append(v.value)
+                    else:
+                        layout.append(("sq", len(others)))
+                        others.append(v)
+                kin = tuple(
+                    (r["fields"], r["params"], r["data"], r["consts"]) for r in recs
+                )
+                return kin, tuple(others)
+
+            (kin, others), vjp_split = jax.vjp(split, arrays)
+
+            kterms = {}
+            dkin = []
+            for idx, r in enumerate(recs):
+                flds, prms, dat, cns = kin[idx]
+                cells = float(np.prod(flds[0].shape))
+                out = rowwise_loss_and_grads(
+                    r["row_fn"], flds, params=prms, data=dat, consts=cns,
+                    nterms=r["nterms"], hist=r["hist"], interpret=interpret,
+                    block_rows=r["block_rows"], gscale=1.0 / cells,
+                )
+                assert out is not None, "one-pass kernel declined at trace time"
+                sums, dfields, dparams = out
+                for t in range(r["nterms"]):
+                    kterms[(idx, t)] = sums[t] / cells
+                dkin.append(
+                    (
+                        tuple(dfields),
+                        tuple(dparams),
+                        tuple(jnp.zeros_like(d) for d in dat),
+                        tuple(jnp.zeros_like(c) for c in cns),
+                    )
+                )
+
+            d_others = []
+            oterms = []
+            for kind_j in layout:
+                if kind_j[0] == "k":
+                    continue
+                v = others[kind_j[1]]
+                numel = float(np.prod(jnp.shape(v))) or 1.0
+                if kind_j[0] == "raw":
+                    oterms.append(mod.mean(v))
+                    d_others.append(jnp.full(jnp.shape(v), 1.0 / numel, jnp.result_type(v)))
+                else:
+                    oterms.append(mod.mean(mod.square(v)))
+                    d_others.append(2.0 * v / numel)
+
+            (grads,) = vjp_split((tuple(dkin), tuple(d_others)))
+
+            terms = []
+            oi = iter(oterms)
+            for kind_j in layout:
+                if kind_j[0] == "k":
+                    terms.append(kterms[(kind_j[1], kind_j[2])])
+                else:
+                    terms.append(next(oi))
+            loss = sum(terms)
+            norms = [mod.sqrt(mod.maximum(t, 0)) for t in terms]
+            return (loss, (terms, norms)), grads
 
         return loss_grad_fn
 

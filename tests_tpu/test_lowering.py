@@ -121,3 +121,34 @@ def test_halo_sharded_kernel_lowers():
         a, b = np.asarray(a), np.asarray(b)
         scale = max(1.0, float(np.max(np.abs(a))))
         np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6 * scale)
+
+
+def test_halo_onepass_kernel_lowers():
+    """The halo one-pass kernel mode (ops/rowwise_mg emit_dwraps/wraps_in:
+    external head residents, head-cotangent outputs) through Mosaic on
+    silicon: a 1-device mesh with a partitioned time axis runs the full
+    make_halo_loss_grad_fn machinery (wrapped row function, windowed
+    coarse, ppermuted heads) with interpret=False, and must reproduce the
+    replicated XLA evaluation at f32/MXU tolerances."""
+    from odil_tpu import parallel
+    from odil_tpu.models import veltracer as vt
+
+    problem0, state0, _ = vt.build(
+        nt=16, nx=16, ny=16, kernel="xla", multigrid=True, dtype=np.float32
+    )
+    l0, t0, g0 = _eval(problem0, state0)
+
+    mesh = parallel.mesh_from_spec("t:1")
+    problem1, state1, _ = vt.build(
+        nt=16, nx=16, ny=16, kernel="pallas_mg", multigrid=True,
+        dtype=np.float32, mesh=mesh, partition={"t": "t"},
+    )
+    fn = problem1.make_loss_grad_fn(state1, halo=True)
+    assert fn is not None
+    arrays1 = problem1.domain.arrays_from_state(state1)
+    (loss, (terms, norms)), grads = jax.jit(fn)(arrays1, problem1.tracers)
+
+    np.testing.assert_allclose(l0, float(np.asarray(loss)), rtol=1e-3)
+    for a, b in zip(g0, grads):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
