@@ -48,14 +48,17 @@ Restrictions (validated at build/trace time, clear errors):
   and halo-extended like the fields (global-shaped dims sliced to the local
   block, local-shaped dims passed through, size-1 plane dims broadcast).
   Restrictions there: the last (lane) plane axis must stay unpartitioned
-  and partitioned plane axes must be cell-located.  The MG-fused ONE-PASS
-  loss+grad (the training-step kernel) also composes: operators exposing a
-  ``kernel_decl`` declaration get ``make_halo_loss_grad_fn`` -- one
-  per-shard kernel that reconstructs the fine multigrid rows in VMEM from
-  the sharded level-0 term plus a time-window of the replicated level-1
-  partial and emits loss sums and cotangents together (its own docstring
-  lists the envelope; outside it the builder returns None and training
-  falls back to value_and_grad of the halo loss);
+  and partitioned plane axes must be cell-located.  ONE-PASS loss+grad
+  (the training-step kernels) also composes, through
+  ``make_halo_loss_grad_fn``: operators exposing a ``kernel_decl``
+  declaration get the MG-fused per-shard kernel (fine multigrid rows
+  reconstructed in VMEM from the sharded level-0 term plus a time-window
+  of the replicated level-1 partial, loss sums and cotangents emitted
+  together), and ANY other ``ctx.rowwise_terms`` operator gets the
+  GENERIC one-pass (deferred-kernel replay inside one per-shard
+  ``jax.vjp``); each route's docstring lists its envelope, outside which
+  the builder returns None and training falls back to value_and_grad of
+  the halo loss;
 - ``extra`` arrays whose shape matches trailing grid axes are sharded and
   localized automatically (e.g. veltracer's ``u_init`` of shape (Nx, Ny));
   pass ``extra_partition={'name': ('x','y') | None}`` to override.
@@ -107,6 +110,78 @@ def _flatten_all_multigrid(problem, state):
             # groups were flattened by the batched ladder above).
             fields[key] = problem.domain.multigrid_to_regular(f)
     return State(fields=fields, initialized=True)
+
+
+def _plain_term_mask(plan, v, ti, replicas=True):
+    """0/1 ownership mask (or None) and the GLOBAL residual count of one
+    non-kernel term evaluated inside shard_map.
+
+    Grid-rank terms get per-dimension accounting: along each partitioned
+    dimension the local extent must be the cell block B or the ghost-node
+    block B+1 (anything else means the operator sliced the term along a
+    partitioned dimension, which would silently become a per-device slice);
+    duplicated shared-node rows are masked out (the left device owns the
+    node), so ``psum(sum(sq * mask)) / count`` is an exact global mean.
+    Non-grid terms (scalar penalties, parameter regularizers) are replicated
+    on every device; their count absorbs the device multiplicity.
+
+    replicas=True: the count also absorbs mesh axes that partition no term
+    dimension (they replicate blocks), matching a psum over ALL mesh axes.
+    replicas=False: the count matches a psum over partitioning axes only --
+    the convention of the kernel terms and the one-pass grad route."""
+    domain = plan.domain
+    used = set(plan.dim_axis.values())
+    mult = 1
+    for axis, k in plan.axis_sizes.items():
+        if axis not in used:
+            mult *= k
+    mask = None
+    if jnp.ndim(v) == domain.ndim:
+        count = 1.0
+        for d in range(domain.ndim):
+            s = v.shape[d]
+            axis = plan.dim_axis.get(d)
+            if axis is None:
+                count *= s
+                continue
+            k = plan.axis_sizes[axis]
+            B = domain.cshape[d] // k
+            if s == B:
+                count *= B * k
+            elif s == B + 1:
+                count *= B * k + 1
+                if k > 1:
+                    m = (jnp.arange(s) > 0) | (jax.lax.axis_index(axis) == 0)
+                    mshape = [1] * domain.ndim
+                    mshape[d] = s
+                    m = m.reshape(mshape).astype(v.dtype)
+                    mask = m if mask is None else mask * m
+            else:
+                raise ValueError(
+                    f"halo mode: term {ti} ('{plan.names[ti]}') has local "
+                    f"extent {s} along partitioned dimension "
+                    f"'{domain.dimnames[d]}' (expected the cell block {B} "
+                    f"or node block {B + 1}); operators must not slice "
+                    f"terms along partitioned dimensions"
+                )
+        if replicas:
+            count *= mult
+    else:
+        # Non-grid term: replicated on every device.
+        count = float(np.prod(np.shape(v))) * len(plan.mesh.devices.reshape(-1)) \
+            if replicas else float(np.prod(np.shape(v))) * (
+                int(np.prod(plan.mesh.devices.shape)) // mult)
+    return mask, count
+
+
+def _plain_term_sum(plan, v, ti):
+    """Local masked sum-of-squares and GLOBAL count of one non-kernel term
+    (the ``make_halo_loss_fn`` convention: psum over ALL mesh axes)."""
+    mask, count = _plain_term_mask(plan, v, ti, replicas=True)
+    sq = jnp.square(v)
+    if mask is not None:
+        sq = sq * mask.astype(sq.dtype)
+    return jnp.sum(sq), count
 
 
 def _local_extra_of(extra, extra_arrs):
@@ -532,6 +607,12 @@ class _HaloContext:
         self.state = State(fields=dict(params), initialized=True)
         self._extended = {}
         self._cache = {}
+        # Deferred-kernel mode (the generic halo one-pass in
+        # make_halo_loss_grad_fn): rowwise_terms performs the localization
+        # (exchange, data/const prep, row-fn wrapping) but records the
+        # kernel call instead of running it, returning placeholders.
+        self.rowwise_defer = False
+        self.rowwise_deferred = []
 
     def cast(self, value, dtype=None):
         return self.mod.cast(value, dtype or self.dtype)
@@ -796,6 +877,32 @@ class _HaloContext:
                 m = m * inb.astype(dtype)
             return tuple(r * m for r in res)
 
+        count = 1.0
+        for d in range(ndim):
+            count *= domain.cshape[d] + (1 if loc0[d] == "n" else 0)
+        if self.rowwise_defer:
+            idx = len(self.rowwise_deferred)
+            self.rowwise_deferred.append(
+                dict(
+                    row_fn=wrapped,
+                    fields=tuple(exts),
+                    params=tuple(params),
+                    data=ext_data,
+                    consts=user_consts + (pmask, meta),
+                    nterms=nterms,
+                    hist=hist,
+                    count=count,
+                    block_rows=block_rows,
+                    stream=stream,
+                )
+            )
+            out = []
+            for t in range(nterms):
+                r = Context.Raw(None)
+                r.from_rowwise = True
+                r.deferred = (idx, t)
+                out.append(r)
+            return out
         from .ops.rowwise import rowwise_loss_sums
 
         sums = rowwise_loss_sums(
@@ -809,9 +916,6 @@ class _HaloContext:
             interpret=interpret,
             block_rows=block_rows,
         )
-        count = 1.0
-        for d in range(ndim):
-            count *= domain.cshape[d] + (1 if loc0[d] == "n" else 0)
         out = []
         for s in sums:
             r = Context.Raw(None)
@@ -874,6 +978,61 @@ class _HaloContext:
         return res[0] if len(dims) == 1 else res
 
 
+def _local_grid_params(plan, mg_meta, param_meta, grid, mg_levels, params_flat):
+    """Rebuilds the device-local (grid, params) dicts inside shard_map: the
+    multigrid ladder runs locally (``_local_mg_block``) and the flat
+    parameter arrays are regrouped into their Array/NeuralNet structures."""
+    grid = dict(grid)
+    for k, levels in mg_levels.items():
+        grid[k] = _local_mg_block(plan, mg_meta[k], levels)
+    params = {}
+    pos = 0
+    for key in plan.param_keys:
+        f = param_meta[key]
+        n = len(field_arrays(f))
+        arrs = params_flat[pos : pos + n]
+        pos += n
+        if isinstance(f, Array):
+            params[key] = Array(arrs[0])
+        else:
+            nw = len(f.weights)
+            params[key] = NeuralNet(
+                list(arrs[:nw]),
+                list(arrs[nw:]),
+                func_in=f.func_in,
+                func_out=f.func_out,
+                activation=f.activation,
+            )
+    return grid, params
+
+
+def _halo_global_inputs(problem, plan, mg_keys, grid_keys, arrays):
+    """The pre-shard_map input split shared by the halo loss and one-pass
+    builders: multigrid level arrays (finest ghost-noded, coarser levels
+    replicated), ghost-noded plain grid blocks, and the flat parameter
+    arrays.  Differentiable -- the ghost-node gather transposes to the exact
+    duplicated-node scatter-add."""
+    st = problem.state_from_arrays(arrays)
+    mg_levels = {}
+    for k in mg_keys:
+        f = st.fields[k]
+        levels = [t.array for t in f.terms]
+        levels[0] = _ghost_nodes(levels[0], plan, plan.field_node_dims(k))
+        mg_levels[k] = levels
+    if mg_keys:
+        st = State(
+            fields={k: v for k, v in st.fields.items() if k not in mg_keys},
+            initialized=True,
+        )
+    st = _flatten_all_multigrid(problem, st)
+    grid = {
+        k: _ghost_nodes(st.fields[k].array, plan, plan.field_node_dims(k))
+        for k in grid_keys
+    }
+    params_flat = [a for k in plan.param_keys for a in field_arrays(st.fields[k])]
+    return grid, mg_levels, params_flat
+
+
 def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
     """Returns (loss_fn, arrays0) with the standard pure signature
     ``loss_fn(arrays, tracers) -> (loss, (terms, norms))``, evaluated inside
@@ -925,27 +1084,9 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
     }
 
     def local_eval(grid, mg_levels, params_flat, extra_arrs, tracers):
-        grid = dict(grid)
-        for k, levels in mg_levels.items():
-            grid[k] = _local_mg_block(plan, mg_meta[k], levels)
-        params = {}
-        pos = 0
-        for key in plan.param_keys:
-            f = param_meta[key]
-            n = len(field_arrays(f))
-            arrs = params_flat[pos : pos + n]
-            pos += n
-            if isinstance(f, Array):
-                params[key] = Array(arrs[0])
-            else:
-                nw = len(f.weights)
-                params[key] = NeuralNet(
-                    list(arrs[:nw]),
-                    list(arrs[nw:]),
-                    func_in=f.func_in,
-                    func_out=f.func_out,
-                    activation=f.activation,
-                )
+        grid, params = _local_grid_params(
+            plan, mg_meta, param_meta, grid, mg_levels, params_flat
+        )
         local_extra = _local_extra_of(extra, extra_arrs)
         ctx = _HaloContext(plan, grid, params, local_extra, tracers)
         _, values = problem._run_operator(ctx)
@@ -965,52 +1106,8 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
                 # across it would overcount by its size.
                 terms.append(jax.lax.psum(hs[0], used_axes) / hs[1])
                 continue
-            sq = jnp.square(v)
-            if jnp.ndim(v) == domain.ndim:
-                # Grid-rank term: per-dimension accounting.  Along each
-                # partitioned dimension the local extent must be the cell
-                # block B or the ghost-node block B+1 (anything else means
-                # the operator sliced the term along a partitioned dimension,
-                # which would silently become a per-device slice).  Duplicated
-                # shared-node rows are masked out (the left device owns the
-                # node), making the psum an exact global sum.
-                count = 1.0
-                for d in range(domain.ndim):
-                    s = v.shape[d]
-                    axis = plan.dim_axis.get(d)
-                    if axis is None:
-                        count *= s
-                        continue
-                    k = plan.axis_sizes[axis]
-                    B = domain.cshape[d] // k
-                    if s == B:
-                        count *= B * k
-                    elif s == B + 1:
-                        count *= B * k + 1
-                        if k > 1:
-                            m = (jnp.arange(s) > 0) | (jax.lax.axis_index(axis) == 0)
-                            mshape = [1] * domain.ndim
-                            mshape[d] = s
-                            sq = sq * m.reshape(mshape).astype(sq.dtype)
-                    else:
-                        raise ValueError(
-                            f"halo mode: term {ti} ('{plan.names[ti]}') has local "
-                            f"extent {s} along partitioned dimension "
-                            f"'{domain.dimnames[d]}' (expected the cell block {B} "
-                            f"or node block {B + 1}); operators must not slice "
-                            f"terms along partitioned dimensions"
-                        )
-                # Mesh axes that partition no term dimension replicate it.
-                used = {plan.dim_axis[d] for d in range(domain.ndim) if d in plan.dim_axis}
-                for axis, k in plan.axis_sizes.items():
-                    if axis not in used:
-                        count *= k
-            else:
-                # Non-grid term (scalar penalty, parameter regularizer):
-                # replicated on every device.
-                count = float(np.prod(np.shape(v))) * ndev
-            total = jax.lax.psum(jnp.sum(sq), axis_names)
-            terms.append(total / count)
+            total, count = _plain_term_sum(plan, v, ti)
+            terms.append(jax.lax.psum(total, axis_names) / count)
         loss = sum(terms)
         norms = [jnp.sqrt(t) for t in terms]
         return loss, (terms, norms)
@@ -1029,24 +1126,9 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
     param_count = sum(len(field_arrays(st0.fields[k])) for k in plan.param_keys)
 
     def loss_fn(arrays, tracers):
-        st = problem.state_from_arrays(arrays)
-        mg_levels = {}
-        for k in mg_keys:
-            f = st.fields[k]
-            levels = [t.array for t in f.terms]
-            levels[0] = _ghost_nodes(levels[0], plan, plan.field_node_dims(k))
-            mg_levels[k] = levels
-        if mg_keys:
-            st = State(
-                fields={k: v for k, v in st.fields.items() if k not in mg_keys},
-                initialized=True,
-            )
-        st = _flatten_all_multigrid(problem, st)
-        grid = {
-            k: _ghost_nodes(st.fields[k].array, plan, plan.field_node_dims(k))
-            for k in grid_keys
-        }
-        params_flat = [a for k in plan.param_keys for a in field_arrays(st.fields[k])]
+        grid, mg_levels, params_flat = _halo_global_inputs(
+            problem, plan, mg_keys, grid_keys, arrays
+        )
         sharded = _shard_map(
             local_eval,
             mesh,
@@ -1067,7 +1149,29 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
 def make_halo_loss_grad_fn(problem, state, extra_partition=None, interpret=None):
     """One-pass fused loss+gradients INSIDE shard_map: the ``--halo`` form
     of ``Problem.make_loss_grad_fn`` (same contract: a pure
-    ``fn(arrays, tracers) -> ((loss, (terms, norms)), grads)``), composing
+    ``fn(arrays, tracers) -> ((loss, (terms, norms)), grads)``).
+
+    Routes, most-fused first, mirroring ``Problem.make_loss_grad_fn``:
+    (1) the MG-fused per-shard kernel (``_make_halo_mg_loss_grad_fn``:
+    multigrid reconstruction inside the kernel, for operators exposing a
+    ``kernel_decl``); (2) the GENERIC one-pass for any operator whose
+    kernels run through ``ctx.rowwise_terms``
+    (``_make_halo_onepass_loss_grad_fn``: deferred-call replay inside one
+    ``jax.vjp`` per shard, the backward kernel emitting loss sums and
+    cotangents together).  Returns None when neither applies; callers fall
+    back to ``jax.value_and_grad(make_halo_loss_fn(...))``."""
+    fn = _make_halo_mg_loss_grad_fn(
+        problem, state, extra_partition=extra_partition, interpret=interpret
+    )
+    if fn is not None:
+        return fn
+    return _make_halo_onepass_loss_grad_fn(
+        problem, state, extra_partition=extra_partition, interpret=interpret
+    )
+
+
+def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=None):
+    """The MG-fused halo one-pass: composes
     the MG-fused backward kernel (ops/rowwise_mg.rowwise_mg_local_loss_and_grads)
     with the explicit halo exchange.  Per device and training step this runs
     ONE kernel on the halo-extended local block -- the fine multigrid rows
@@ -1332,6 +1436,250 @@ def make_halo_loss_grad_fn(problem, state, extra_partition=None, interpret=None)
         )
         loss, terms, norms, dparts = sharded(parts, extra_arrays, tracers)
         (grads,) = vjp_pro(dparts)
+        return (loss, (list(terms), list(norms))), grads
+
+    return loss_grad_fn
+
+
+def _make_halo_onepass_loss_grad_fn(problem, state, extra_partition=None, interpret=None):
+    """The GENERIC halo one-pass fused loss+grad: the shard_map mirror of
+    ``Problem._make_onepass_loss_grad_fn``, for ANY operator whose kernel
+    terms come through ``ctx.rowwise_terms`` (wave, heat with NeuralNet
+    params and imposed data, veltracer with multigrid off or flattened --
+    the multigrid ladder then runs locally inside the same ``jax.vjp``).
+
+    Per device and training step: the operator runs once in deferred mode
+    inside one ``jax.vjp`` of the whole localization (local multigrid
+    ladder, parameter regrouping, ppermute halo exchange, per-row data
+    localization) -- ``_HaloContext.rowwise_terms`` performs the exchange
+    and row-function wrapping but records the kernel call and returns
+    placeholders.  Each recorded call then runs the one-pass backward
+    kernel (ops/rowwise.rowwise_loss_and_grads: masked per-term SUMS plus
+    cotangents in one sweep, no forward kernel), non-kernel terms (scalar
+    penalties, weight regularizers, imposed-value residuals evaluated in
+    XLA) get analytic masked mean-square cotangents, and all cotangents
+    fold back through the single ``jax.vjp`` -- whose transpose turns the
+    halo ppermutes into the exact reverse-edge scatter-adds.  Per-term
+    sums and replicated-input cotangents (coarse multigrid levels,
+    parameters) are ``psum``-combined over the mesh axes that partition a
+    grid dimension only (replicating axes enter the counts instead).
+
+    Returns None when no kernel call is recorded or any call falls outside
+    the kernel envelope (off-TPU unless ``interpret=True``, 64-bit dtype,
+    streaming variant, beyond-VMEM local working set); callers fall back
+    to ``jax.value_and_grad(make_halo_loss_fn(...))``."""
+    from .ops.rowwise import (
+        _backward_vmem_estimate,
+        _on_tpu,
+        rowwise_loss_and_grads,
+    )
+
+    domain = problem.domain
+    if interpret is None and (
+        not _on_tpu() or np.dtype(domain.dtype).itemsize > 4
+    ):
+        return None
+    plan = _HaloPlan(problem, state, extra_partition=extra_partition)
+    if not plan.rowwise_calls or any(c.get("stream") for c in plan.rowwise_calls):
+        return None
+    problem._capture_structure(state)
+    arrays0 = domain.arrays_from_state(state)
+
+    mesh = plan.mesh
+    used_axes = tuple(dict.fromkeys(plan.dim_axis.values()))
+    nterms_total = len(plan.names)
+    param_meta = {k: state.fields[k] for k in plan.param_keys}
+    mg_keys = [k for k, f in state.fields.items() if isinstance(f, MultigridField)]
+    mg_meta = {k: _mg_ladder_meta(domain, plan, k, state.fields[k]) for k in mg_keys}
+    st0 = _flatten_all_multigrid(problem, state)
+    grid_keys = [
+        k for k, f in st0.fields.items() if isinstance(f, Field) and k not in mg_keys
+    ]
+    grid_specs = {k: plan.field_spec(k) for k in grid_keys}
+    mg_specs = {
+        k: [plan.field_spec(k)] + [P()] * (len(mg_meta[k]["shapes"]) - 1)
+        for k in mg_keys
+    }
+    param_count = sum(len(field_arrays(st0.fields[k])) for k in plan.param_keys)
+
+    extra = problem.extra
+    extra_items = {} if extra is None else (
+        vars(extra) if not isinstance(extra, dict) else extra
+    )
+    extra_arrays = {
+        k: _ghost_nodes(jnp.asarray(v), plan, plan.extra_node_dims.get(k, {}))
+        for k, v in extra_items.items()
+        if k in plan.extra_specs
+    }
+    extra_sub_specs = {k: plan.extra_specs[k] for k in extra_arrays}
+
+    def build_split(recs, layout, extra_arrs, tracers):
+        def split(inputs):
+            grid_in, mg_in, params_in = inputs
+            g, params = _local_grid_params(
+                plan, mg_meta, param_meta, grid_in, mg_in, params_in
+            )
+            local_extra = _local_extra_of(extra, extra_arrs)
+            ctx = _HaloContext(plan, g, params, local_extra, tracers)
+            ctx.rowwise_defer = True
+            _, values = problem._run_operator(ctx)
+            del recs[:], layout[:]
+            recs.extend(ctx.rowwise_deferred)
+            others = []
+            for ti, v in enumerate(values):
+                if isinstance(v, Context.Raw):
+                    if getattr(v, "deferred", None) is None:
+                        raise ValueError(
+                            "halo mode does not support hand-made Context.Raw "
+                            "terms; evaluate fused kernels through "
+                            "ctx.rowwise_terms"
+                        )
+                    layout.append(("k", v.deferred[0], v.deferred[1], ti))
+                else:
+                    layout.append(("sq", len(others), ti))
+                    others.append(v)
+            kin = tuple(
+                (r["fields"], r["params"], r["data"], r["consts"]) for r in recs
+            )
+            return kin, tuple(others)
+
+        return split
+
+    # Build-time envelope probe: collect the kernel calls' local shapes
+    # (extended blocks) through an abstract shard_map trace.
+    probe_recs = []
+
+    def probe_local(grid, mg_levels, params_flat, extra_arrs, tracers):
+        build_split(probe_recs, [], extra_arrs, tracers)(
+            (grid, mg_levels, params_flat)
+        )
+        return jnp.zeros(())
+
+    def probe_fn(arrays, tracers):
+        grid, mg_levels, params_flat = _halo_global_inputs(
+            problem, plan, mg_keys, grid_keys, arrays
+        )
+        sharded = _shard_map(
+            probe_local,
+            mesh,
+            in_specs=(
+                grid_specs,
+                mg_specs,
+                [P()] * param_count,
+                extra_sub_specs,
+                jax.tree_util.tree_map(lambda _: P(), tracers),
+            ),
+            out_specs=P(),
+        )
+        return sharded(grid, mg_levels, params_flat, extra_arrays, tracers)
+
+    try:
+        jax.eval_shape(probe_fn, arrays0, problem.tracers)
+    except Exception:
+        return None
+    if not probe_recs or any(r["stream"] for r in probe_recs):
+        return None
+    if interpret is None:
+        for r in probe_recs:
+            vmem = _backward_vmem_estimate(
+                r["fields"], r["params"], r["data"], r["consts"],
+                r["nterms"], r["hist"],
+            )
+            if vmem > 14 * 1024 * 1024:
+                return None
+
+    def local_onepass(grid, mg_levels, params_flat, extra_arrs, tracers):
+        recs, layout = [], []
+        split = build_split(recs, layout, extra_arrs, tracers)
+        (kin, others), vjp_split = jax.vjp(split, (grid, mg_levels, params_flat))
+
+        kterms = {}
+        dkin = []
+        for idx, r in enumerate(recs):
+            flds, prms, dat, cns = kin[idx]
+            count = r["count"]
+            out = rowwise_loss_and_grads(
+                r["row_fn"], flds, params=prms, data=dat, consts=cns,
+                nterms=r["nterms"], hist=r["hist"], interpret=interpret,
+                block_rows=r["block_rows"], gscale=1.0 / count,
+            )
+            assert out is not None, "halo one-pass kernel declined at trace time"
+            sums, dfields, dprm = out
+            sums = jax.lax.psum(sums, used_axes)
+            for t in range(r["nterms"]):
+                kterms[(idx, t)] = sums[t] / count
+            dkin.append(
+                (
+                    tuple(dfields),
+                    tuple(dprm),
+                    tuple(jnp.zeros_like(d) for d in dat),
+                    tuple(jnp.zeros_like(c) for c in cns),
+                )
+            )
+
+        d_others = [None] * len(others)
+        oterms = {}
+        for kind in layout:
+            if kind[0] != "sq":
+                continue
+            j, ti = kind[1], kind[2]
+            v = others[j]
+            mask, count = _plain_term_mask(plan, v, ti, replicas=False)
+            sq = jnp.square(v)
+            d = (2.0 / count) * v
+            if mask is not None:
+                sq = sq * mask
+                d = d * mask
+            oterms[ti] = jax.lax.psum(jnp.sum(sq), used_axes) / count
+            d_others[j] = d
+        (dinputs,) = vjp_split((tuple(dkin), tuple(d_others)))
+        dgrid, dmg, dparams = dinputs
+        # Replicated inputs (coarse ladder levels, parameters): each device
+        # along a partitioning axis holds a distinct contribution; replicas
+        # along non-partitioning axes already hold the full value.
+        dmg = {
+            k: [lv[0]] + [jax.lax.psum(l, used_axes) for l in lv[1:]]
+            for k, lv in dmg.items()
+        }
+        dparams = [jax.lax.psum(p, used_axes) for p in dparams]
+        terms = []
+        for kind in layout:
+            if kind[0] == "k":
+                terms.append(kterms[(kind[1], kind[2])])
+            else:
+                terms.append(oterms[kind[2]])
+        loss = sum(terms)
+        norms = [jnp.sqrt(jnp.maximum(t, 0.0)) for t in terms]
+        return loss, terms, norms, dgrid, dmg, dparams
+
+    def loss_grad_fn(arrays, tracers):
+        def prologue(arrs):
+            return _halo_global_inputs(problem, plan, mg_keys, grid_keys, arrs)
+
+        (grid, mg_levels, params_flat), vjp_pro = jax.vjp(prologue, arrays)
+        sharded = _shard_map(
+            local_onepass,
+            mesh,
+            in_specs=(
+                grid_specs,
+                mg_specs,
+                [P()] * param_count,
+                extra_sub_specs,
+                jax.tree_util.tree_map(lambda _: P(), tracers),
+            ),
+            out_specs=(
+                P(),
+                [P()] * nterms_total,
+                [P()] * nterms_total,
+                grid_specs,
+                mg_specs,
+                [P()] * param_count,
+            ),
+        )
+        loss, terms, norms, dgrid, dmg, dparams = sharded(
+            grid, mg_levels, params_flat, extra_arrays, tracers
+        )
+        (grads,) = vjp_pro((dgrid, dmg, dparams))
         return (loss, (list(terms), list(norms))), grads
 
     return loss_grad_fn

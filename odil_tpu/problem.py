@@ -232,8 +232,10 @@ class Problem:
         ``jax.value_and_grad(make_loss_fn(...))``.
 
         halo=True builds the shard_map form instead (one per-shard kernel
-        on halo-extended local blocks, halo.make_halo_loss_grad_fn); the
-        operator must expose a ``kernel_decl`` declaration.
+        on halo-extended local blocks, halo.make_halo_loss_grad_fn): the
+        MG-fused route for operators exposing a ``kernel_decl``
+        declaration, else the generic one-pass for any operator whose
+        kernels run through ``ctx.rowwise_terms``.
 
         Routes, most-fused first: (1) the multigrid-partial fused pass
         (operator.loss_and_grads, also fusing the finest Horner step);
@@ -244,7 +246,7 @@ class Problem:
         if halo:
             from .halo import make_halo_loss_grad_fn
 
-            return make_halo_loss_grad_fn(self, state)
+            return make_halo_loss_grad_fn(self, state, interpret=interpret)
         fn = self._make_mg_loss_grad_fn(state)
         if fn is not None:
             return fn

@@ -489,3 +489,157 @@ def test_halo_kernel_terms_with_unused_mesh_axis():
         dtype=np.float64, mesh=mesh, partition={"t": "t"},
     )
     _compare_loss_and_grads(problem, state)
+
+
+# -- Generic one-pass (deferred-kernel) halo route ----------------------------
+
+
+def _compare_generic_onepass(problem, state, nterms=None):
+    """((loss, terms, norms), grads) through the GENERIC halo one-pass
+    builder (deferred-kernel replay inside one per-shard jax.vjp) vs the
+    replicated GSPMD value_and_grad evaluation, to roundoff."""
+    from odil_tpu.halo import _make_halo_onepass_loss_grad_fn
+
+    lg = _make_halo_onepass_loss_grad_fn(problem, state, interpret=True)
+    assert lg is not None, "generic halo one-pass builder declined"
+    arrays = problem.domain.arrays_from_state(state)
+    (loss1, (terms1, norms1)), grads1 = jax.jit(lg)(arrays, problem.tracers)
+
+    loss_fn0, arrays0 = problem.make_loss_fn(state)
+    (loss0, (terms0, _)), grads0 = jax.jit(
+        jax.value_and_grad(loss_fn0, has_aux=True)
+    )(arrays0, problem.tracers)
+    np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss0), rtol=1e-12)
+    if nterms is not None:
+        assert len(terms1) == nterms
+    for a, b in zip(terms0, terms1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    assert len(grads0) == len(grads1)
+    for a, b in zip(grads0, grads1):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-12, atol=1e-13 * max(1.0, np.max(np.abs(a)))
+        )
+
+
+@pytest.mark.parametrize("spec,part", [
+    ("x:4", {"x": "x"}),
+    ("t:4,x:2", {"t": "t", "x": "x"}),
+])
+@pytest.mark.parametrize("multigrid", [False, True])
+def test_halo_generic_onepass_veltracer(spec, part, multigrid):
+    """The generic one-pass fused loss+grad (plain-kernel operators, no MG
+    partials) composes with halo mode: the operator replays in deferred
+    mode inside one per-shard jax.vjp (multigrid ladder local, halo
+    exchange transposed exactly), and the backward kernel emits masked loss
+    sums and cotangents together."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec(spec)
+    problem, state, extra = vt.build(
+        nt=16, nx=16, ny=16, kernel="pallas", multigrid=multigrid,
+        dtype=np.float64, mesh=mesh, partition=part,
+    )
+    _compare_generic_onepass(problem, state)
+
+
+def test_halo_generic_onepass_wave_data_rows():
+    """Wave (2-D grid, hist=2, boundary traces as per-row data) through the
+    generic halo one-pass: data rows ride the recorded halo exchange."""
+    from odil_tpu.models import wave as wv
+
+    mesh = parallel.mesh_from_spec("t:4")
+    problem, state, extra = wv.build(
+        nt=16, nx=16, kernel="pallas", multigrid=True,
+        mesh=mesh, partition={"t": "t"},
+    )
+    _compare_generic_onepass(problem, state)
+
+
+def test_halo_generic_onepass_heat_params():
+    """Heat with NeuralNet conductivity params and imposed-measurement data:
+    parameter cotangents cross the per-shard kernel and are psum-combined
+    over partitioning axes only."""
+    from odil_tpu.models import heat as ht
+
+    mesh = parallel.mesh_from_spec("t:4")
+    problem, state, extra = ht.build(
+        nt=16, nx=16, infer_k=True, imposed="random", nimp=40,
+        dtype=np.float64, multigrid=True, kernel="pallas",
+        mesh=mesh, partition={"t": "t"},
+    )
+    _compare_generic_onepass(problem, state)
+
+
+def test_halo_generic_onepass_unused_axis_and_regs():
+    """All six veltracer terms (kernel terms + imposed + x/t velocity
+    regularizers evaluated in XLA) with a mesh axis that partitions
+    nothing: kernel and non-kernel sums share the partitioning-axes-only
+    psum convention, replicating axes enter the counts."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("t:2,r:4")
+    problem, state, extra = vt.build(
+        nt=8, nx=16, ny=16, kernel="pallas", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition={"t": "t"},
+        kxreg=0.01, ktreg=0.01,
+    )
+    _compare_generic_onepass(problem, state, nterms=6)
+
+
+def test_halo_generic_onepass_gates():
+    """The generic builder declines (returns None) outside its envelope:
+    no ctx.rowwise_terms calls, or interpret unset off-TPU -- and the
+    make_loss_grad_fn(halo=True) dispatcher reaches it when the MG-fused
+    route declines."""
+    from odil_tpu.halo import _make_halo_onepass_loss_grad_fn
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("t:4")
+    problem, state, extra = vt.build(
+        nt=16, nx=16, ny=16, kernel="xla", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition={"t": "t"},
+    )
+    assert _make_halo_onepass_loss_grad_fn(problem, state, interpret=True) is None
+
+    problem2, state2, extra2 = vt.build(
+        nt=16, nx=16, ny=16, kernel="pallas", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition={"t": "t"},
+    )
+    # Off-TPU without interpret=True: decline (training falls back to
+    # value_and_grad of the halo loss; the XLA fallback beats the
+    # interpreter there).
+    assert problem2.make_loss_grad_fn(state2, halo=True) is None
+    assert problem2.make_loss_grad_fn(state2, halo=True, interpret=True) is not None
+
+
+def test_halo_generic_onepass_trains_with_scanned_adam():
+    """The generic halo one-pass binds into the scanned Adam optimizer as
+    loss_grad_fn and reproduces the replicated training trajectory."""
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.optim import make_optimizer
+
+    def train(mesh, part, halo):
+        problem, state, extra = vt.build(
+            nt=8, nx=16, ny=16, kernel="pallas", multigrid=True,
+            dtype=np.float64, mesh=mesh, partition=part,
+        )
+        from odil_tpu.halo import make_halo_loss_fn
+
+        if halo:
+            loss_fn, arrays = make_halo_loss_fn(problem, state)
+            lg = problem.make_loss_grad_fn(state, halo=True, interpret=True)
+            assert lg is not None
+        else:
+            loss_fn, arrays = problem.make_loss_fn(state)
+            lg = None
+        opt = make_optimizer("adamn", dtype=problem.domain.dtype, mod=problem.domain.mod)
+        opt.bind(loss_fn, tracers=problem.tracers, task_epochs=[0, 20],
+                 names=None, loss_grad_fn=lg)
+        arrays, optinfo = opt.run(arrays, epochs=20, lr=0.02)
+        return float(loss_fn(arrays, problem.tracers)[0])
+
+    mesh = parallel.mesh_from_spec("t:2,x:2")
+    l_halo = train(mesh, {"t": "t", "x": "x"}, halo=True)
+    l_ref = train(None, {}, halo=False)
+    np.testing.assert_allclose(l_halo, l_ref, rtol=1e-10)

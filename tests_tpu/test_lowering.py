@@ -152,3 +152,34 @@ def test_halo_onepass_kernel_lowers():
     for a, b in zip(g0, grads):
         scale = max(1.0, float(np.max(np.abs(a))))
         np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+
+
+def test_halo_generic_onepass_kernel_lowers():
+    """The GENERIC halo one-pass route (deferred-kernel replay inside one
+    per-shard jax.vjp; backward-with-sums kernel on the halo-extended local
+    block) through Mosaic on silicon: a 1-device mesh with a partitioned x
+    axis runs make_loss_grad_fn(halo=True) for a plain (non-kernel_decl)
+    pallas operator with interpret=False, and must reproduce the replicated
+    XLA evaluation at f32/MXU tolerances."""
+    from odil_tpu import parallel
+    from odil_tpu.models import veltracer as vt
+
+    problem0, state0, _ = vt.build(
+        nt=16, nx=16, ny=16, kernel="xla", multigrid=False, dtype=np.float32
+    )
+    l0, t0, g0 = _eval(problem0, state0)
+
+    mesh = parallel.mesh_from_spec("x:1")
+    problem1, state1, _ = vt.build(
+        nt=16, nx=16, ny=16, kernel="pallas", multigrid=False,
+        dtype=np.float32, mesh=mesh, partition={"x": "x"},
+    )
+    fn = problem1.make_loss_grad_fn(state1, halo=True)
+    assert fn is not None
+    arrays1 = problem1.domain.arrays_from_state(state1)
+    (loss, (terms, norms)), grads = jax.jit(fn)(arrays1, problem1.tracers)
+
+    np.testing.assert_allclose(l0, float(np.asarray(loss)), rtol=1e-3)
+    for a, b in zip(g0, grads):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
