@@ -880,6 +880,17 @@ class _HaloContext:
         count = 1.0
         for d in range(ndim):
             count *= domain.cshape[d] + (1 if loc0[d] == "n" else 0)
+        # Beyond-VMEM local blocks route to the x-tiled kernel: when the x
+        # plane dim is partitioned, its halo columns (>= the declared reach)
+        # are masked out of every residual above, which is exactly the
+        # masked-edge contract that lets the non-tileable extended extent
+        # (B + lo + hi) be edge-padded to a tileable one (rowwise.py).
+        xpad_ok = (
+            ndim == 3
+            and plan.dim_axis.get(1) is not None
+            and w0[1][0] >= halox
+            and w0[1][1] >= halox
+        )
         if self.rowwise_defer:
             idx = len(self.rowwise_deferred)
             self.rowwise_deferred.append(
@@ -894,6 +905,8 @@ class _HaloContext:
                     count=count,
                     block_rows=block_rows,
                     stream=stream,
+                    halox=halox,
+                    xpad_masked=xpad_ok,
                 )
             )
             out = []
@@ -915,6 +928,8 @@ class _HaloContext:
             hist=hist,
             interpret=interpret,
             block_rows=block_rows,
+            halox=halox,
+            xpad_masked=xpad_ok,
         )
         out = []
         for s in sums:
@@ -1469,14 +1484,17 @@ def _make_halo_onepass_loss_grad_fn(problem, state, extra_partition=None, interp
     streaming variant, beyond-VMEM local working set); callers fall back
     to ``jax.value_and_grad(make_halo_loss_fn(...))``."""
     from .ops.rowwise import (
-        _backward_vmem_estimate,
+        _FORCE_TILE,
         _on_tpu,
+        onepass_supported,
         rowwise_loss_and_grads,
     )
 
     domain = problem.domain
-    if interpret is None and (
-        not _on_tpu() or np.dtype(domain.dtype).itemsize > 4
+    if (
+        interpret is None
+        and (not _on_tpu() or np.dtype(domain.dtype).itemsize > 4)
+        and not _FORCE_TILE
     ):
         return None
     plan = _HaloPlan(problem, state, extra_partition=extra_partition)
@@ -1581,11 +1599,11 @@ def _make_halo_onepass_loss_grad_fn(problem, state, extra_partition=None, interp
         return None
     if interpret is None:
         for r in probe_recs:
-            vmem = _backward_vmem_estimate(
+            if not onepass_supported(
                 r["fields"], r["params"], r["data"], r["consts"],
-                r["nterms"], r["hist"],
-            )
-            if vmem > 14 * 1024 * 1024:
+                r["nterms"], r["hist"], halox=r.get("halox"),
+                xpad_masked=r.get("xpad_masked", False),
+            ):
                 return None
 
     def local_onepass(grid, mg_levels, params_flat, extra_arrs, tracers):
@@ -1602,6 +1620,7 @@ def _make_halo_onepass_loss_grad_fn(problem, state, extra_partition=None, interp
                 r["row_fn"], flds, params=prms, data=dat, consts=cns,
                 nterms=r["nterms"], hist=r["hist"], interpret=interpret,
                 block_rows=r["block_rows"], gscale=1.0 / count,
+                halox=r.get("halox"), xpad_masked=r.get("xpad_masked", False),
             )
             assert out is not None, "halo one-pass kernel declined at trace time"
             sums, dfields, dprm = out

@@ -50,6 +50,7 @@ __all__ = [
     "rowwise_loss_terms",
     "rowwise_loss_sums",
     "rowwise_loss_and_grads",
+    "onepass_supported",
 ]
 
 
@@ -68,6 +69,46 @@ def _weights_of(gvec, res, nterms):
 
 def _on_tpu():
     return jax.default_backend() == "tpu"
+
+
+# Test hook: set to a tile width to force the x-tiled route (interpret mode
+# off-TPU) regardless of plane size, e.g. `rowwise._FORCE_TILE = 8` in a CPU
+# test of the halo x-tiled composition.
+_FORCE_TILE = None
+
+
+def _pick_tiled_route(fields, data, consts, hist, halox, allow_pad):
+    """(tile, xpad) for the x-tiled kernel route, or None when it does not
+    apply: reach undeclared, non-3D grids, data not field-shaped, non-2D
+    consts, f64 on real TPU (Mosaic), or no tile width fits the VMEM
+    budget.  ``allow_pad`` admits the edge-padded route for non-tileable x
+    extents (the halo masked-edge contract; see rowwise_tiled.py)."""
+    if halox is None or fields[0].ndim != 3:
+        return None
+    if not all(tuple(d.shape) == tuple(fields[0].shape) for d in data):
+        return None
+    if not all(getattr(c, "ndim", 0) == 2 for c in consts):
+        return None
+    # f64 cannot lower through Mosaic; the forced (test) route runs the
+    # interpreter off-TPU, where f64 is fine.
+    if fields[0].dtype.itemsize > 4 and not (_FORCE_TILE and not _on_tpu()):
+        return None
+    if not (_on_tpu() or _FORCE_TILE):
+        return None
+    from .rowwise_tiled import pick_tile, pick_tile_pad
+
+    T, X, Y = fields[0].shape
+    isz = fields[0].dtype.itemsize
+    tile = _FORCE_TILE or pick_tile(X, Y, isz, len(fields), len(data), len(consts), hist)
+    if tile is not None and tile < X and X % tile == 0:
+        return tile, None
+    if allow_pad:
+        if _FORCE_TILE:
+            return _FORCE_TILE, -(-X // _FORCE_TILE) * _FORCE_TILE
+        tw = pick_tile_pad(X, Y, isz, len(fields), len(data), len(consts) + 1, hist)
+        if tw is not None:
+            return tw
+    return None
 
 
 def _row_spec(shape, T, offset):
@@ -886,6 +927,7 @@ def rowwise_loss_terms(
     stream=False,
     halox=None,
     _sums=False,
+    xpad_masked=False,
 ):
     """Per-term mean-squared losses through the fused kernel.
 
@@ -894,6 +936,12 @@ def rowwise_loss_terms(
     beyond-VMEM planes needs it (the tiles overlap by halox rows); when
     left None the reach is unknown, so oversized planes take the exact
     XLA fallback instead of risking a too-narrow tile halo.
+
+    xpad_masked (with _sums, i.e. halo per-shard evaluation): declares
+    that every residual within halox of either x end is masked to zero
+    by the row function (a halo-extended local block), so a non-tileable
+    x extent may be edge-padded up to a tileable one for the x-tiled
+    route (rowwise_tiled.pick_tile_pad).
 
     Equivalent to ``[mean(residual_k**2)]`` with residuals over the full
     (T, *plane) grid.  1-D planes are padded to 2-D internally to satisfy
@@ -915,31 +963,26 @@ def rowwise_loss_terms(
         # Mosaic cannot lower 64-bit reductions/scalars (remote-compile
         # crashes on every staged-reduction formulation tried); fp64 runs
         # the equivalent XLA path -- the kernel is the fp32/bf16 perf path.
-        if not _on_tpu() or vmem > 14 * 1024 * 1024 or fields[0].dtype.itemsize > 4:
-            if (
-                _on_tpu()
-                and not _sums
-                and halox is not None
-                and fields[0].dtype.itemsize <= 4
-                and fields[0].ndim == 3
-                and all(d.ndim == 3 for d in data)
-                and all(c.ndim == 2 for c in consts)
-            ):
-                # Planes too large for whole-plane VMEM residency (512^2+):
-                # x-tiled kernel with halo streams (rowwise_tiled.py)
-                # instead of the far slower XLA fallback.
-                from .rowwise_tiled import pick_tile, rowwise_loss_terms_tiled
+        oversized = not _on_tpu() or vmem > 14 * 1024 * 1024
+        if oversized or fields[0].dtype.itemsize > 4 or _FORCE_TILE:
+            # Planes too large for whole-plane VMEM residency (512^2+):
+            # x-tiled kernel with halo streams (rowwise_tiled.py) instead
+            # of the far slower XLA fallback.  Non-tileable halo-extended
+            # blocks (B + lo + hi x-rows) ride the edge-padded route under
+            # the masked-edge contract (_sums + xpad_masked).  _FORCE_TILE
+            # is a test hook forcing this route at small shapes (interpret
+            # mode off-TPU).
+            route = _pick_tiled_route(
+                fields, data, consts, hist, halox, allow_pad=_sums and xpad_masked
+            )
+            if route is not None:
+                from .rowwise_tiled import rowwise_loss_terms_tiled
 
-                tile = pick_tile(
-                    fields[0].shape[1], fields[0].shape[2],
-                    fields[0].dtype.itemsize, len(fields), len(data),
-                    len(consts), hist,
+                return rowwise_loss_terms_tiled(
+                    row_fn, fields, params=params, data=data, consts=consts,
+                    nterms=nterms, hist=hist, halox=halox, tile=route[0],
+                    xpad=route[1], _sums=_sums,
                 )
-                if tile is not None and tile < fields[0].shape[1]:
-                    return rowwise_loss_terms_tiled(
-                        row_fn, fields, params=params, data=data, consts=consts,
-                        nterms=nterms, hist=hist, halox=halox, tile=tile,
-                    )
             return _vmap_rowwise_terms(
                 row_fn, fields, params, data, consts, nterms, hist, sums=_sums
             )
@@ -1021,11 +1064,15 @@ def rowwise_loss_sums(
     interpret=None,
     block_rows=None,
     stream=False,
+    halox=None,
+    xpad_masked=False,
 ):
     """``rowwise_loss_terms`` returning per-term SUMS of squares instead of
     means.  Used by sharded evaluation (halo.py): each device computes the
     masked local sum through the kernel, a ``psum`` makes it global, and the
-    caller divides by the *global* residual count."""
+    caller divides by the *global* residual count.  ``halox``/``xpad_masked``
+    route beyond-VMEM local blocks to the x-tiled kernel (see
+    ``rowwise_loss_terms``)."""
     return rowwise_loss_terms(
         row_fn,
         fields,
@@ -1037,7 +1084,32 @@ def rowwise_loss_sums(
         interpret=interpret,
         block_rows=block_rows,
         stream=stream,
+        halox=halox,
         _sums=True,
+        xpad_masked=xpad_masked,
+    )
+
+
+def onepass_supported(
+    fields, params, data, consts, nterms, hist, halox=None, xpad_masked=False
+):
+    """Whether ``rowwise_loss_and_grads(interpret=None)`` would run for
+    these inputs -- the whole-plane kernel (fits VMEM, <= 32-bit, on TPU)
+    or the x-tiled route.  Build-time gate for the one-pass fused
+    loss+grad builders (Problem._make_onepass_loss_grad_fn,
+    halo._make_halo_onepass_loss_grad_fn)."""
+    fields = tuple(fields)
+    vmem = _backward_vmem_estimate(fields, params, data, consts, nterms, hist)
+    if (
+        _on_tpu()
+        and vmem <= 14 * 1024 * 1024
+        and np.dtype(fields[0].dtype).itemsize <= 4
+        and not _FORCE_TILE
+    ):
+        return True
+    return (
+        _pick_tiled_route(fields, data, consts, hist, halox, allow_pad=xpad_masked)
+        is not None
     )
 
 
@@ -1052,6 +1124,8 @@ def rowwise_loss_and_grads(
     interpret=None,
     block_rows=None,
     gscale=None,
+    halox=None,
+    xpad_masked=False,
 ):
     """One-pass fused loss sums AND gradients: the backward kernel
     accumulates the per-term sums of squares while emitting cotangents of
@@ -1081,8 +1155,24 @@ def rowwise_loss_and_grads(
         gscale = 1.0 / (T * plane)
     if interpret is None:
         vmem = _backward_vmem_estimate(fields, params, data, consts, nterms, hist)
-        if not _on_tpu() or vmem > 14 * 1024 * 1024 or fields[0].dtype.itemsize > 4:
-            return None
+        oversized = not _on_tpu() or vmem > 14 * 1024 * 1024
+        if oversized or fields[0].dtype.itemsize > 4 or _FORCE_TILE:
+            # Beyond-VMEM planes: the x-tiled one-pass (backward-with-sums)
+            # keeps training steps at the fused rate; non-tileable
+            # halo-extended blocks ride the edge-padded route (see
+            # rowwise_loss_terms / rowwise_tiled.py).
+            route = _pick_tiled_route(
+                fields, data, consts, hist, halox, allow_pad=xpad_masked
+            )
+            if route is None:
+                return None
+            from .rowwise_tiled import rowwise_loss_and_grads_tiled
+
+            return rowwise_loss_and_grads_tiled(
+                row_fn, fields, params=params, data=data, consts=consts,
+                nterms=nterms, hist=hist, halox=halox, tile=route[0],
+                xpad=route[1], gscale=gscale,
+            )
         interpret = False
     g = jnp.full((nterms,), gscale, fields[0].dtype)
     orig_ndim = fields[0].ndim

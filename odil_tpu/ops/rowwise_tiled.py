@@ -29,7 +29,20 @@ Contract additions over ``rowwise.py``: fields are 3D (T, X, Y); X is
 divisible by the tile width; ``halox`` bounds the row function's x-shift
 reach; row functions must not branch on the global x index (none of the
 bundled models do -- x/y boundary handling rides on data/consts arrays,
-which are tiled alongside the fields).
+which are tiled alongside the fields).  Consts whose shape is exactly
+(X, Y) are tiled and halo-widened like the fields; any other 2D const
+(scalars as (1, 1), per-device metadata rows) streams WHOLE to every
+program.
+
+Sharded evaluation (halo.py) composes through two extras: ``_sums=True``
+returns per-term sums of squares instead of means (each device's masked
+local sum, psum'd by the caller), and ``xpad=<Xpad>`` edge-pads a
+non-tileable x extent (a halo-extended local block is B + lo + hi rows,
+never a power of two) up to a tileable width -- valid ONLY under the halo
+contract that every residual within ``halox`` of either x end is already
+masked to zero by the row function, so the padded rows (masked here by an
+appended 0/1 const) and the now-wrong periodic wrap contribute nothing to
+sums or cotangents.
 """
 
 from functools import partial
@@ -46,7 +59,13 @@ def _whole_spec(shape):
     ndim = len(shape)
     return pl.BlockSpec(tuple(shape), lambda p, i: (0,) * ndim)
 
-__all__ = ["rowwise_loss_terms_tiled", "tiled_vmem_estimate", "pick_tile"]
+__all__ = [
+    "rowwise_loss_terms_tiled",
+    "rowwise_loss_and_grads_tiled",
+    "tiled_vmem_estimate",
+    "pick_tile",
+    "pick_tile_pad",
+]
 
 
 def _tile_spec(shape, T, toff, W, nxt, has_t=True):
@@ -101,11 +120,52 @@ def pick_tile(X, Y, itemsize, nf, nd, nc, hist, budget=10 * 1024 * 1024):
     return W
 
 
+def pick_tile_pad(X, Y, itemsize, nf, nd, nc, hist, budget=10 * 1024 * 1024):
+    """Tile width and padded extent (W, Xpad) for a NON-tileable X (a
+    halo-extended local block): among the multiples of 8 that fit the
+    VMEM budget, the W minimizing the padded extent ceil(X/W)*W (ties to
+    the larger W, less per-program overhead); None if even W=8 busts the
+    budget."""
+    w0 = 8
+    while tiled_vmem_estimate(w0 + 8, Y, itemsize, nf, nd, nc, hist) <= budget:
+        w0 += 8
+    if tiled_vmem_estimate(w0, Y, itemsize, nf, nd, nc, hist) > budget:
+        return None
+    best = None
+    for W in range(max(8, (w0 // 2) // 8 * 8), w0 + 1, 8):
+        xpad = -(-X // W) * W
+        if best is None or xpad < best[1] or (xpad == best[1] and W > best[0]):
+            best = (W, xpad)
+    return best
+
+
+def _pad_x_edge(a, Xpad):
+    """Edge-pads the x (second-to-last) axis up to Xpad: pad values are
+    finite copies of the last real row (never fed to an unmasked residual
+    under the halo contract), and the pad transpose adds only the zero
+    cotangents of masked residuals back to that row."""
+    padn = Xpad - a.shape[-2]
+    if padn == 0:
+        return a
+    cfg = [(0, 0)] * a.ndim
+    cfg[-2] = (0, padn)
+    return jnp.pad(a, cfg, mode="edge")
+
+
+def _const_split(consts, X):
+    """Static split: consts shaped exactly (X, Y-ish) tile with the fields;
+    everything else ((1, 1) scalars, metadata rows) streams whole."""
+    ct = [i for i, c in enumerate(consts) if c.ndim == 2 and c.shape[0] == X]
+    cw = [i for i, c in enumerate(consts) if i not in ct]
+    return ct, cw
+
+
 def _forward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts):
     T, X, Y = fields[0].shape
     nxt = X // W
     h = halox
     nf, np_, nd = len(fields), len(params), len(data)
+    cti, cwi = _const_split(consts, X)
 
     def kernel(*refs):
         pos = 0
@@ -113,17 +173,23 @@ def _forward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, da
         pos += nf * (hist + 1) * 3
         d_refs = refs[pos : pos + nd * 3]
         pos += nd * 3
-        c_refs = refs[pos : pos + len(consts) * 3]
-        pos += len(consts) * 3
+        c_refs = refs[pos : pos + len(cti) * 3]
+        pos += len(cti) * 3
+        w_refs = refs[pos : pos + len(cwi)]
+        pos += len(cwi)
         p_refs = refs[pos : pos + np_]
         out_ref = refs[-1]
 
         p, i = pl.program_id(0), pl.program_id(1)
         params_v = tuple(r[...] for r in p_refs)
-        consts_v = tuple(
-            _widen(c_refs[3 * c][...], c_refs[3 * c + 1][...], c_refs[3 * c + 2][...], h)
-            for c in range(len(consts))
-        )
+        consts_l = [None] * len(consts)
+        for k, ci in enumerate(cti):
+            consts_l[ci] = _widen(
+                c_refs[3 * k][...], c_refs[3 * k + 1][...], c_refs[3 * k + 2][...], h
+            )
+        for k, ci in enumerate(cwi):
+            consts_l[ci] = w_refs[k][...]
+        consts_v = tuple(consts_l)
         rows = tuple(
             tuple(
                 _widen(
@@ -166,13 +232,17 @@ def _forward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, da
             _halo_spec(d.shape, T, 0, W, nxt, +1),
         ]
         inputs += [d, d, d]
-    for c in consts:
+    for ci in cti:
+        c = consts[ci]
         in_specs += [
             _tile_spec(c.shape, T, 0, W, nxt, has_t=False),
             _halo_spec(c.shape, T, 0, W, nxt, -1, has_t=False),
             _halo_spec(c.shape, T, 0, W, nxt, +1, has_t=False),
         ]
         inputs += [c, c, c]
+    for ci in cwi:
+        in_specs += [_whole_spec(consts[ci].shape)]
+        inputs += [consts[ci]]
     in_specs += [_whole_spec(p.shape) for p in params]
     inputs += list(params)
     out = pl.pallas_call(
@@ -186,7 +256,8 @@ def _forward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, da
     return out[0]
 
 
-def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts, g):
+def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, data, consts, g,
+                    with_sums=False):
     T, X, Y = fields[0].shape
     nxt = X // W
     h = halox
@@ -194,6 +265,7 @@ def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, d
     span = 2 * hist + 1
     gmat = jnp.reshape(g, (1, nterms))
     dtype = fields[0].dtype
+    cti, cwi = _const_split(consts, X)
 
     def kernel(*refs):
         pos = 0
@@ -201,8 +273,10 @@ def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, d
         pos += nf * span * 3
         d_refs = refs[pos : pos + nd * (hist + 1) * 3]
         pos += nd * (hist + 1) * 3
-        c_refs = refs[pos : pos + len(consts) * 3]
-        pos += len(consts) * 3
+        c_refs = refs[pos : pos + len(cti) * 3]
+        pos += len(cti) * 3
+        w_refs = refs[pos : pos + len(cwi)]
+        pos += len(cwi)
         p_refs = refs[pos : pos + np_]
         pos += np_
         g_ref = refs[pos]
@@ -213,14 +287,20 @@ def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, d
         pos += nf
         out_er_refs = refs[pos : pos + nf]
         pos += nf
-        out_p_refs = refs[pos:]
+        out_p_refs = refs[pos : pos + np_]
+        pos += np_
+        out_s_ref = refs[pos] if with_sums else None
 
         p, i = pl.program_id(0), pl.program_id(1)
         params_v = tuple(r[...] for r in p_refs)
-        consts_v = tuple(
-            _widen(c_refs[3 * c][...], c_refs[3 * c + 1][...], c_refs[3 * c + 2][...], h)
-            for c in range(len(consts))
-        )
+        consts_l = [None] * len(consts)
+        for k, ci in enumerate(cti):
+            consts_l[ci] = _widen(
+                c_refs[3 * k][...], c_refs[3 * k + 1][...], c_refs[3 * k + 2][...], h
+            )
+        for k, ci in enumerate(cwi):
+            consts_l[ci] = w_refs[k][...]
+        consts_v = tuple(consts_l)
         gvec = g_ref[0]
         # Upstream cotangent is zero on the discarded halo residual rows.
         xw = jax.lax.broadcasted_iota(jnp.int32, (W + 2 * h, Y), 0)
@@ -268,6 +348,17 @@ def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, d
             if o == 0:
                 for q in range(np_):
                     param_accs[q] = param_accs[q] + cots[nf * (hist + 1) + q]
+                if with_sums:
+                    # Residual row i restricted to tile p is ours exactly
+                    # once across the grid: accumulate its loss sums.
+                    ssum = _sumsq_vec(tuple(r[h : h + W] for r in res))
+        if with_sums:
+
+            @pl.when((p == 0) & (i == 0))
+            def _():
+                out_s_ref[0, :] = jnp.zeros((nterms,), out_s_ref.dtype)
+
+            out_s_ref[0, :] += ssum
         for f in range(nf):
             out_f_refs[f][0] = accs[f]
             out_el_refs[f][0, 0] = eaccs_l[f]
@@ -298,13 +389,17 @@ def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, d
                 _halo_spec(d.shape, T, o, W, nxt, +1),
             ]
             inputs += [d, d, d]
-    for c in consts:
+    for ci in cti:
+        c = consts[ci]
         in_specs += [
             _tile_spec(c.shape, T, 0, W, nxt, has_t=False),
             _halo_spec(c.shape, T, 0, W, nxt, -1, has_t=False),
             _halo_spec(c.shape, T, 0, W, nxt, +1, has_t=False),
         ]
         inputs += [c, c, c]
+    for ci in cwi:
+        in_specs += [_whole_spec(consts[ci].shape)]
+        inputs += [consts[ci]]
     in_specs += [_whole_spec(q.shape) for q in params]
     inputs += list(params)
     in_specs += [_whole_spec((1, nterms))]
@@ -317,11 +412,13 @@ def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, d
         + [edge_spec] * nf
         + [edge_spec] * nf
         + [_whole_spec(q.shape) for q in params]
+        + ([_whole_spec((1, nterms))] if with_sums else [])
     )
     out_shapes = (
         [jax.ShapeDtypeStruct(f.shape, f.dtype) for f in fields]
         + [jax.ShapeDtypeStruct(edge_shape, dtype)] * (2 * nf)
         + [jax.ShapeDtypeStruct(q.shape, q.dtype) for q in params]
+        + ([jax.ShapeDtypeStruct((1, nterms), dtype)] if with_sums else [])
     )
     outs = pl.pallas_call(
         kernel,
@@ -334,7 +431,7 @@ def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, d
     dfields = list(outs[:nf])
     els = outs[nf : 2 * nf]
     ers = outs[2 * nf : 3 * nf]
-    dparams = tuple(outs[3 * nf :])
+    dparams = tuple(outs[3 * nf : 3 * nf + np_])
 
     # Fold the edge cotangents into the neighbor tiles' x-rows (XLA; tiny).
     for f in range(nf):
@@ -345,6 +442,8 @@ def _backward_tiled(row_fn, nterms, hist, halox, W, interpret, fields, params, d
             ro = ((pt + 1) % nxt) * W  # Right halo: x-rows [ro, ro+h).
             df = df.at[:, ro : ro + h].add(ers[f][pt])
         dfields[f] = df
+    if with_sums:
+        return tuple(dfields), dparams, outs[-1][0]
     return tuple(dfields), dparams
 
 
@@ -389,16 +488,46 @@ def rowwise_loss_terms_tiled(
     halox=1,
     tile=None,
     interpret=None,
+    _sums=False,
+    xpad=None,
 ):
     """Mean-squared loss terms via the x-tiled kernel.
 
     Same contract as ``rowwise.rowwise_loss_terms`` plus: fields must be
     3D (T, X, Y); ``halox`` bounds the row function's x-stencil reach;
-    ``tile`` overrides the auto-chosen tile width (must divide X)."""
+    ``tile`` overrides the auto-chosen tile width (must divide X).
+
+    ``_sums=True`` returns per-term SUMS of squares (the halo per-shard
+    convention).  ``xpad`` (requires ``_sums``) edge-pads X up to a
+    tileable extent, masking the padded rows through an appended 0/1
+    const -- valid only when residuals within ``halox`` of either x end
+    are already masked by the row function (the halo-extended-block
+    contract; see module docstring)."""
     from .rowwise import _on_tpu
 
     fields = tuple(jnp.asarray(f) for f in fields)
+    params = tuple(jnp.asarray(p) for p in params)
+    data = tuple(jnp.asarray(d) for d in data)
+    consts = tuple(jnp.asarray(c) for c in consts)
     T, X, Y = fields[0].shape
+    cells = T * X * Y
+    if xpad is not None and xpad != X:
+        assert _sums, "xpad is only exact under the halo masked-edge contract"
+        dtype = fields[0].dtype
+        xmask = (jnp.arange(xpad) < X).astype(dtype)[:, None] * jnp.ones((1, Y), dtype)
+        fields = tuple(_pad_x_edge(f, xpad) for f in fields)
+        data = tuple(_pad_x_edge(d, xpad) for d in data)
+        consts = tuple(
+            _pad_x_edge(c, xpad) if (c.ndim == 2 and c.shape[0] == X) else c
+            for c in consts
+        ) + (xmask,)
+        inner_fn = row_fn
+
+        def row_fn(it, T_, rows, data_rows, pv, cons):
+            res = inner_fn(it, T_, rows, data_rows, pv, cons[:-1])
+            return tuple(r * cons[-1] for r in res)
+
+        X = xpad
     if tile is None:
         tile = pick_tile(
             X, Y, fields[0].dtype.itemsize, len(fields), len(data), len(consts), hist
@@ -416,9 +545,77 @@ def rowwise_loss_terms_tiled(
         tile,
         interpret,
         fields,
-        tuple(jnp.asarray(p) for p in params),
-        tuple(jnp.asarray(d) for d in data),
-        tuple(jnp.asarray(c) for c in consts),
+        params,
+        data,
+        consts,
     )
-    cells = T * X * Y
-    return tuple(sums[k] / cells for k in range(nterms))
+    denom = 1.0 if _sums else cells
+    return tuple(sums[k] / denom for k in range(nterms))
+
+
+def rowwise_loss_and_grads_tiled(
+    row_fn,
+    fields,
+    params=(),
+    data=(),
+    consts=(),
+    nterms=1,
+    hist=1,
+    halox=1,
+    tile=None,
+    interpret=None,
+    gscale=None,
+    xpad=None,
+):
+    """One-pass fused loss sums AND gradients through the x-tiled kernel:
+    the backward sweep accumulates per-term sums of squares while emitting
+    cotangents, so training steps at beyond-VMEM plane sizes skip the
+    forward kernel (the tiled mirror of ``rowwise.rowwise_loss_and_grads``).
+
+    Returns (sums, dfields, dparams) with dfields in the ORIGINAL
+    (un-padded) shapes.  ``xpad`` follows the masked-edge contract of
+    ``rowwise_loss_terms_tiled``; the pad-region cotangents it discards are
+    exact zeros (only masked residuals read padded rows)."""
+    from .rowwise import _on_tpu
+
+    fields = tuple(jnp.asarray(f) for f in fields)
+    params = tuple(jnp.asarray(p) for p in params)
+    data = tuple(jnp.asarray(d) for d in data)
+    consts = tuple(jnp.asarray(c) for c in consts)
+    T, X, Y = fields[0].shape
+    X_real = X
+    if gscale is None:
+        gscale = 1.0 / (T * X * Y)
+    if xpad is not None and xpad != X:
+        dtype = fields[0].dtype
+        xmask = (jnp.arange(xpad) < X).astype(dtype)[:, None] * jnp.ones((1, Y), dtype)
+        fields = tuple(_pad_x_edge(f, xpad) for f in fields)
+        data = tuple(_pad_x_edge(d, xpad) for d in data)
+        consts = tuple(
+            _pad_x_edge(c, xpad) if (c.ndim == 2 and c.shape[0] == X) else c
+            for c in consts
+        ) + (xmask,)
+        inner_fn = row_fn
+
+        def row_fn(it, T_, rows, data_rows, pv, cons):
+            res = inner_fn(it, T_, rows, data_rows, pv, cons[:-1])
+            return tuple(r * cons[-1] for r in res)
+
+        X = xpad
+    if tile is None:
+        tile = pick_tile(
+            X, Y, fields[0].dtype.itemsize, len(fields), len(data), len(consts), hist
+        )
+    assert tile is not None and X % tile == 0, (X, tile)
+    assert tile >= 8 and tile % 8 == 0, tile  # _HB halo-block alignment.
+    assert halox <= 8, halox
+    if interpret is None:
+        interpret = not _on_tpu()
+    g = jnp.full((nterms,), gscale, fields[0].dtype)
+    dfields, dparams, sums = _backward_tiled(
+        row_fn, nterms, hist, halox, tile, interpret,
+        fields, params, data, consts, g, with_sums=True,
+    )
+    if X != X_real:
+        dfields = tuple(d[:, :X_real] for d in dfields)
+    return sums, dfields, dparams

@@ -342,7 +342,7 @@ class Problem:
 
         self._capture_structure(state)
         arrays0 = self.domain.arrays_from_state(state)
-        from .ops.rowwise import _backward_vmem_estimate, _on_tpu
+        from .ops.rowwise import _on_tpu
 
         probe_recs = []
 
@@ -361,14 +361,17 @@ class Problem:
         if not probe_recs or any(r["stream"] for r in probe_recs):
             return None
         if interpret is None:
-            if not _on_tpu() or _np.dtype(self.domain.dtype).itemsize > 4:
+            from .ops.rowwise import _FORCE_TILE, onepass_supported
+
+            if (
+                not _on_tpu() or _np.dtype(self.domain.dtype).itemsize > 4
+            ) and not _FORCE_TILE:
                 return None
             for r in probe_recs:
-                vmem = _backward_vmem_estimate(
+                if not onepass_supported(
                     r["fields"], r["params"], r["data"], r["consts"],
-                    r["nterms"], r["hist"],
-                )
-                if vmem > 14 * 1024 * 1024:
+                    r["nterms"], r["hist"], halox=r.get("halox"),
+                ):
                     return None
         from .ops.rowwise import rowwise_loss_and_grads
 
@@ -412,6 +415,7 @@ class Problem:
                     r["row_fn"], flds, params=prms, data=dat, consts=cns,
                     nterms=r["nterms"], hist=r["hist"], interpret=interpret,
                     block_rows=r["block_rows"], gscale=1.0 / cells,
+                    halox=r.get("halox"),
                 )
                 assert out is not None, "one-pass kernel declined at trace time"
                 sums, dfields, dparams = out

@@ -643,3 +643,100 @@ def test_halo_generic_onepass_trains_with_scanned_adam():
     l_halo = train(mesh, {"t": "t", "x": "x"}, halo=True)
     l_ref = train(None, {}, halo=False)
     np.testing.assert_allclose(l_halo, l_ref, rtol=1e-10)
+
+
+@pytest.mark.parametrize("spec,part", [
+    ("x:2", {"x": "x"}),          # ext X = 16+2 = 18 -> edge-padded to 24
+    ("t:2,x:4", {"t": "t", "x": "x"}),  # ext X = 8+2 = 10 -> padded to 16
+    ("t:4", {"t": "t"}),          # x unpartitioned: ext X = 32, no pad
+])
+@pytest.mark.parametrize("multigrid", [False, True])
+def test_halo_fused_kernel_tiled(spec, part, multigrid, monkeypatch):
+    """Beyond-VMEM local blocks route the per-shard kernel to the x-tiled
+    variant (rowwise_tiled): halo-extended extents edge-padded under the
+    masked-edge contract, the (1, 2) meta const streamed whole, periodic
+    t selection via ghost-node blocks.  Forced at small shapes through the
+    rowwise._FORCE_TILE hook (interpret mode on the CPU mesh); must match
+    the GSPMD path to 1e-12."""
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.ops import rowwise
+
+    monkeypatch.setattr(rowwise, "_FORCE_TILE", 8)
+    mesh = parallel.mesh_from_spec(spec)
+    problem, state, extra = vt.build(
+        nt=8, nx=32, ny=16, kernel="pallas", multigrid=multigrid,
+        dtype=np.float64, mesh=mesh, partition=part,
+    )
+    _compare_loss_and_grads(problem, state)
+
+
+def test_halo_fused_kernel_tiled_trains_with_scanned_adam(monkeypatch):
+    """The halo x-tiled route binds into the scanned Adam optimizer and
+    reproduces the untiled halo trajectory exactly."""
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.ops import rowwise
+    from odil_tpu.halo import make_halo_loss_fn
+    from odil_tpu.optim import make_optimizer
+
+    mesh = parallel.mesh_from_spec("t:2,x:2")
+
+    def train(force_tile):
+        if force_tile:
+            monkeypatch.setattr(rowwise, "_FORCE_TILE", 8)
+        else:
+            monkeypatch.setattr(rowwise, "_FORCE_TILE", None)
+        problem, state, extra = vt.build(
+            nt=8, nx=32, ny=16, kernel="pallas", multigrid=False,
+            dtype=np.float64, mesh=mesh, partition={"t": "t", "x": "x"},
+        )
+        loss_fn, arrays = make_halo_loss_fn(problem, state)
+        opt = make_optimizer("adamn", dtype=problem.domain.dtype, mod=problem.domain.mod)
+        opt.bind(loss_fn, tracers=problem.tracers, task_epochs=[0, 20], names=None)
+        arrays, optinfo = opt.run(arrays, epochs=20, lr=0.02)
+        return float(loss_fn(arrays, problem.tracers)[0])
+
+    l_ref = train(force_tile=False)
+    l_tiled = train(force_tile=True)
+    np.testing.assert_allclose(l_ref, l_tiled, rtol=1e-12)
+
+
+@pytest.mark.parametrize("spec,part", [
+    ("x:2", {"x": "x"}),          # ext X = 32+2 = 34 -> edge-padded to 40
+    ("t:2,x:4", {"t": "t", "x": "x"}),  # ext X = 8+2 = 10 -> padded to 16
+])
+@pytest.mark.parametrize("multigrid", [False, True])
+def test_halo_generic_onepass_tiled(spec, part, multigrid, monkeypatch):
+    """The generic halo one-pass through the x-tiled backward-with-sums
+    kernel (beyond-VMEM local blocks, forced at small shapes via
+    rowwise._FORCE_TILE): the deferred-kernel replay runs
+    rowwise_loss_and_grads_tiled per shard on the edge-padded
+    halo-extended block and must match the replicated GSPMD
+    value_and_grad to 1e-12."""
+    from odil_tpu.halo import _make_halo_onepass_loss_grad_fn
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.ops import rowwise
+
+    monkeypatch.setattr(rowwise, "_FORCE_TILE", 8)
+    mesh = parallel.mesh_from_spec(spec)
+    nx = 32 if spec == "x:2" else 32
+    problem, state, extra = vt.build(
+        nt=8, nx=nx, ny=16, kernel="pallas", multigrid=multigrid,
+        dtype=np.float64, mesh=mesh, partition=part,
+    )
+    lg = _make_halo_onepass_loss_grad_fn(problem, state)  # interpret=None
+    assert lg is not None, "tiled generic halo one-pass builder declined"
+    arrays = problem.domain.arrays_from_state(state)
+    (loss1, (terms1, norms1)), grads1 = jax.jit(lg)(arrays, problem.tracers)
+
+    loss_fn0, arrays0 = problem.make_loss_fn(state)
+    (loss0, (terms0, _)), grads0 = jax.jit(
+        jax.value_and_grad(loss_fn0, has_aux=True)
+    )(arrays0, problem.tracers)
+    np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss0), rtol=1e-12)
+    for a, b in zip(terms0, terms1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+    for a, b in zip(grads0, grads1):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-12, atol=1e-13 * max(1.0, np.max(np.abs(a)))
+        )

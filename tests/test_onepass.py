@@ -115,3 +115,32 @@ def test_onepass_trains_with_scanned_adam():
         return float(loss_fn(arrays, problem.tracers)[0])
 
     np.testing.assert_allclose(train(True), train(False), rtol=1e-10)
+
+
+def test_onepass_veltracer_tiled(monkeypatch):
+    """Beyond-VMEM planes route the one-pass backward to the x-tiled
+    kernel (rowwise_loss_and_grads_tiled: backward-with-sums, edge
+    cotangent folds), forced at small shapes via rowwise._FORCE_TILE
+    (interpret mode on CPU): make_loss_grad_fn must route with
+    interpret=None and match jax.value_and_grad to roundoff."""
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.ops import rowwise
+
+    monkeypatch.setattr(rowwise, "_FORCE_TILE", 8)
+    problem, state, extra = vt.build(
+        nt=8, nx=32, ny=16, kernel="pallas", multigrid=False, dtype=np.float64
+    )
+    state = _randomized(problem, state)
+    fn = problem.make_loss_grad_fn(state)  # interpret=None: the tiled route
+    assert fn is not None, "tiled one-pass builder declined"
+    arrays = problem.domain.arrays_from_state(state)
+    (loss1, (terms1, norms1)), grads1 = jax.jit(fn)(arrays, problem.tracers)
+
+    loss_fn, arrays0 = problem.make_loss_fn(state)
+    (loss0, (terms0, _)), grads0 = jax.jit(
+        jax.value_and_grad(loss_fn, has_aux=True)
+    )(arrays0, problem.tracers)
+    np.testing.assert_allclose(np.asarray(loss0), np.asarray(loss1), rtol=1e-12)
+    for a, b in zip(grads0, grads1):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-12, atol=1e-12 * max(1.0, np.max(np.abs(a))))

@@ -828,3 +828,126 @@ def test_kernel_operator_random_state_parity(model, kernel, kw):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-6)
     for a, b in zip(g0, g1):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.max(np.abs(a))))
+
+
+def test_tiled_sums_xpad_whole_consts():
+    """The halo-composition extras of the tiled kernel: per-term SUMS
+    (_sums=True), a non-tileable x extent edge-padded under the masked-edge
+    contract (xpad), a whole-streamed non-plane const ((1, 2) metadata), and
+    a tiled plane const -- vs the plain kernel's interpret-mode sums."""
+    from odil_tpu.ops.rowwise import rowwise_loss_sums
+    from odil_tpu.ops.rowwise_tiled import rowwise_loss_terms_tiled
+
+    rng = np.random.default_rng(11)
+    T, X, Y = 6, 18, 16  # X = 18: no power-of-two tile divides it.
+    fields = tuple(
+        jnp.asarray(rng.normal(size=(T, X, Y)), jnp.float32) * 0.3 for _ in range(2)
+    )
+    # Masked-edge contract: residuals within halox=1 of either x end vanish.
+    xm = np.ones((X, Y), np.float32)
+    xm[0] = 0.0
+    xm[-1] = 0.0
+    cmask = jnp.asarray(xm)
+    cmeta = jnp.asarray([[0.7, 1.3]], jnp.float32)  # whole-streamed (1, 2)
+
+    def row_fn(it, T_, rows, data_rows, params, consts_v):
+        (u_r, v_r) = rows
+        m, meta = consts_v
+        ucur, uprev = u_r
+        vcur, _ = v_r
+        dux = (jnp.roll(uprev, -1, 0) - jnp.roll(uprev, 1, 0)) * 0.5
+        r1 = ((ucur - uprev) + vcur * dux) * m * meta[0, 0]
+        r2 = jnp.where(it == 0, ucur * meta[0, 1], 0.0) * m
+        return (r1, r2)
+
+    def loss_ref(*fs):
+        ts = rowwise_loss_sums(
+            row_fn, fs, consts=(cmask, cmeta), nterms=2, hist=1, interpret=True
+        )
+        return sum(ts), tuple(ts)
+
+    def loss_tiled(*fs):
+        ts = rowwise_loss_terms_tiled(
+            row_fn, fs, consts=(cmask, cmeta), nterms=2, hist=1, halox=1,
+            tile=8, xpad=24, _sums=True,
+        )
+        return sum(ts), tuple(ts)
+
+    (l0, t0), g0 = jax.value_and_grad(loss_ref, argnums=(0, 1), has_aux=True)(*fields)
+    (l1, t1), g1 = jax.value_and_grad(loss_tiled, argnums=(0, 1), has_aux=True)(*fields)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(t0, t1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+    for a, b in zip(g0, g1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_onepass_matches_value_and_grad():
+    """The tiled one-pass (backward-with-sums) must reproduce
+    jax.value_and_grad of the plain kernel's loss: sums and all field
+    cotangents, including the edge folds and the periodic x wrap."""
+    from odil_tpu.ops.rowwise_tiled import rowwise_loss_and_grads_tiled
+
+    fields, consts, row_fn, nterms = _tiled_case()
+    T, X, Y = fields[0].shape
+    gscale = 1.0 / (T * X * Y)
+
+    def loss(*fs):
+        ts = rowwise_loss_terms(
+            row_fn, fs, consts=consts, nterms=nterms, hist=1, interpret=True
+        )
+        return sum(ts)
+
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1, 2))(*fields)
+    sums, dfields, dparams = rowwise_loss_and_grads_tiled(
+        row_fn, fields, consts=consts, nterms=nterms, hist=1, halox=1,
+        tile=8, gscale=gscale,
+    )
+    assert dparams == ()
+    np.testing.assert_allclose(float(sum(sums)) * gscale, float(l0), rtol=1e-6)
+    for a, b in zip(g0, dfields):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_tiled_onepass_xpad():
+    """The tiled one-pass with an edge-padded non-tileable x extent under
+    the masked-edge contract: sums and cotangents match value_and_grad of
+    the un-padded sums, pad-region cotangents discarded as exact zeros."""
+    from odil_tpu.ops.rowwise import rowwise_loss_sums
+    from odil_tpu.ops.rowwise_tiled import rowwise_loss_and_grads_tiled
+
+    rng = np.random.default_rng(13)
+    T, X, Y = 6, 18, 16
+    fields = tuple(
+        jnp.asarray(rng.normal(size=(T, X, Y)), jnp.float32) * 0.3 for _ in range(2)
+    )
+    xm = np.ones((X, Y), np.float32)
+    xm[0] = 0.0
+    xm[-1] = 0.0
+    cmask = jnp.asarray(xm)
+
+    def row_fn(it, T_, rows, data_rows, params, consts_v):
+        (u_r, v_r) = rows
+        (m,) = consts_v
+        ucur, uprev = u_r
+        vcur, _ = v_r
+        dux = (jnp.roll(uprev, -1, 0) - jnp.roll(uprev, 1, 0)) * 0.5
+        r1 = ((ucur - uprev) + vcur * dux) * m
+        r2 = jnp.where(it == 0, ucur, 0.0) * m
+        return (r1, r2)
+
+    def loss(*fs):
+        ts = rowwise_loss_sums(
+            row_fn, fs, consts=(cmask,), nterms=2, hist=1, interpret=True
+        )
+        return 0.25 * sum(ts)
+
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(*fields)
+    sums, dfields, dparams = rowwise_loss_and_grads_tiled(
+        row_fn, fields, consts=(cmask,), nterms=2, hist=1, halox=1,
+        tile=8, xpad=24, gscale=0.25,
+    )
+    np.testing.assert_allclose(0.25 * float(sum(sums)), float(l0), rtol=1e-6)
+    for a, b in zip(g0, dfields):
+        assert b.shape == (T, X, Y)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)

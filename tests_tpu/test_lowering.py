@@ -183,3 +183,47 @@ def test_halo_generic_onepass_kernel_lowers():
     for a, b in zip(g0, grads):
         scale = max(1.0, float(np.max(np.abs(a))))
         np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+
+
+def test_halo_tiled_kernel_lowers():
+    """The x-tiled halo composition through Mosaic on silicon: a 1-device
+    mesh with a partitioned x axis gives a non-tileable halo-extended
+    extent (16 + 2 = 18 -> edge-padded to 24 at the forced tile 8), so this
+    exercises the whole-streamed meta const, the edge-pad mask, and the
+    tiled backward with interpret=False -- for both the loss path
+    (custom-vjp tiled backward) and the generic one-pass
+    (backward-with-sums)."""
+    from odil_tpu import parallel
+    from odil_tpu.halo import _make_halo_onepass_loss_grad_fn, make_halo_loss_fn
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.ops import rowwise
+
+    problem0, state0, _ = vt.build(
+        nt=16, nx=16, ny=16, kernel="xla", multigrid=False, dtype=np.float32
+    )
+    l0, t0, g0 = _eval(problem0, state0)
+
+    old = rowwise._FORCE_TILE
+    rowwise._FORCE_TILE = 8
+    try:
+        mesh = parallel.mesh_from_spec("x:1")
+        problem1, state1, _ = vt.build(
+            nt=16, nx=16, ny=16, kernel="pallas", multigrid=False,
+            dtype=np.float32, mesh=mesh, partition={"x": "x"},
+        )
+        loss_fn1, arrays1 = make_halo_loss_fn(problem1, state1)
+        f1 = jax.jit(jax.value_and_grad(lambda a: loss_fn1(a, problem1.tracers)[0]))
+        v1, g1 = f1(arrays1)
+
+        lg = _make_halo_onepass_loss_grad_fn(problem1, state1)
+        assert lg is not None, "tiled generic halo one-pass builder declined"
+        (v2, (terms2, _)), g2 = jax.jit(lg)(arrays1, problem1.tracers)
+    finally:
+        rowwise._FORCE_TILE = old
+
+    for v, g in ((v1, g1), (v2, g2)):
+        np.testing.assert_allclose(l0, float(np.asarray(v)), rtol=2e-5)
+        for a, b in zip(g0, g):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = max(1.0, float(np.max(np.abs(a))))
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5 * scale)
