@@ -1563,6 +1563,17 @@ def _make_halo_onepass_loss_grad_fn(problem, state, extra_partition=None, interp
 
         return split
 
+    # One in_specs layout shared by the probe and the real shard_map, so
+    # the build-time envelope check cannot diverge from the path it gates.
+    def in_specs_of(tracers):
+        return (
+            grid_specs,
+            mg_specs,
+            [P()] * param_count,
+            extra_sub_specs,
+            jax.tree_util.tree_map(lambda _: P(), tracers),
+        )
+
     # Build-time envelope probe: collect the kernel calls' local shapes
     # (extended blocks) through an abstract shard_map trace.
     probe_recs = []
@@ -1580,13 +1591,7 @@ def _make_halo_onepass_loss_grad_fn(problem, state, extra_partition=None, interp
         sharded = _shard_map(
             probe_local,
             mesh,
-            in_specs=(
-                grid_specs,
-                mg_specs,
-                [P()] * param_count,
-                extra_sub_specs,
-                jax.tree_util.tree_map(lambda _: P(), tracers),
-            ),
+            in_specs=in_specs_of(tracers),
             out_specs=P(),
         )
         return sharded(grid, mg_levels, params_flat, extra_arrays, tracers)
@@ -1679,13 +1684,7 @@ def _make_halo_onepass_loss_grad_fn(problem, state, extra_partition=None, interp
         sharded = _shard_map(
             local_onepass,
             mesh,
-            in_specs=(
-                grid_specs,
-                mg_specs,
-                [P()] * param_count,
-                extra_sub_specs,
-                jax.tree_util.tree_map(lambda _: P(), tracers),
-            ),
+            in_specs=in_specs_of(tracers),
             out_specs=(
                 P(),
                 [P()] * nterms_total,

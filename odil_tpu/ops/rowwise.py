@@ -83,7 +83,9 @@ def _pick_tiled_route(fields, data, consts, hist, halox, allow_pad):
     consts, f64 on real TPU (Mosaic), or no tile width fits the VMEM
     budget.  ``allow_pad`` admits the edge-padded route for non-tileable x
     extents (the halo masked-edge contract; see rowwise_tiled.py)."""
-    if halox is None or fields[0].ndim != 3:
+    # halox > 8 exceeds the tiled kernels' 8-row halo-block streams
+    # (rowwise_tiled._HB): decline so callers take the exact fallback.
+    if halox is None or halox > 8 or fields[0].ndim != 3:
         return None
     if not all(tuple(d.shape) == tuple(fields[0].shape) for d in data):
         return None

@@ -122,10 +122,12 @@ def pick_tile(X, Y, itemsize, nf, nd, nc, hist, budget=10 * 1024 * 1024):
 
 def pick_tile_pad(X, Y, itemsize, nf, nd, nc, hist, budget=10 * 1024 * 1024):
     """Tile width and padded extent (W, Xpad) for a NON-tileable X (a
-    halo-extended local block): among the multiples of 8 that fit the
-    VMEM budget, the W minimizing the padded extent ceil(X/W)*W (ties to
-    the larger W, less per-program overhead); None if even W=8 busts the
-    budget."""
+    halo-extended local block): among the multiples of 8 in the TOP HALF
+    of the widths fitting the VMEM budget (a deliberate large-tile bias
+    -- smaller tiles always pad less, W=8 minimizes waste outright, but
+    per-program overhead dominates below ~half the budget width), the W
+    minimizing the padded extent ceil(X/W)*W, ties to the larger W; None
+    if even W=8 busts the budget."""
     w0 = 8
     while tiled_vmem_estimate(w0 + 8, Y, itemsize, nf, nd, nc, hist) <= budget:
         w0 += 8
@@ -150,6 +152,28 @@ def _pad_x_edge(a, Xpad):
     cfg = [(0, 0)] * a.ndim
     cfg[-2] = (0, padn)
     return jnp.pad(a, cfg, mode="edge")
+
+
+def _apply_xpad(row_fn, fields, data, consts, X, Y, xpad):
+    """Edge-pads a non-tileable x extent up to ``xpad`` under the halo
+    masked-edge contract: fields/data and (X, Y)-shaped consts are padded,
+    an appended 0/1 const masks residuals at the padded rows, and the row
+    function is rewrapped to apply it.  Returns the rewrapped
+    (row_fn, fields, data, consts)."""
+    dtype = fields[0].dtype
+    xmask = (jnp.arange(xpad) < X).astype(dtype)[:, None] * jnp.ones((1, Y), dtype)
+    fields = tuple(_pad_x_edge(f, xpad) for f in fields)
+    data = tuple(_pad_x_edge(d, xpad) for d in data)
+    consts = tuple(
+        _pad_x_edge(c, xpad) if (c.ndim == 2 and c.shape[0] == X) else c
+        for c in consts
+    ) + (xmask,)
+
+    def masked_row_fn(it, T_, rows, data_rows, pv, cons):
+        res = row_fn(it, T_, rows, data_rows, pv, cons[:-1])
+        return tuple(r * cons[-1] for r in res)
+
+    return masked_row_fn, fields, data, consts
 
 
 def _const_split(consts, X):
@@ -513,20 +537,9 @@ def rowwise_loss_terms_tiled(
     cells = T * X * Y
     if xpad is not None and xpad != X:
         assert _sums, "xpad is only exact under the halo masked-edge contract"
-        dtype = fields[0].dtype
-        xmask = (jnp.arange(xpad) < X).astype(dtype)[:, None] * jnp.ones((1, Y), dtype)
-        fields = tuple(_pad_x_edge(f, xpad) for f in fields)
-        data = tuple(_pad_x_edge(d, xpad) for d in data)
-        consts = tuple(
-            _pad_x_edge(c, xpad) if (c.ndim == 2 and c.shape[0] == X) else c
-            for c in consts
-        ) + (xmask,)
-        inner_fn = row_fn
-
-        def row_fn(it, T_, rows, data_rows, pv, cons):
-            res = inner_fn(it, T_, rows, data_rows, pv, cons[:-1])
-            return tuple(r * cons[-1] for r in res)
-
+        row_fn, fields, data, consts = _apply_xpad(
+            row_fn, fields, data, consts, X, Y, xpad
+        )
         X = xpad
     if tile is None:
         tile = pick_tile(
@@ -587,20 +600,9 @@ def rowwise_loss_and_grads_tiled(
     if gscale is None:
         gscale = 1.0 / (T * X * Y)
     if xpad is not None and xpad != X:
-        dtype = fields[0].dtype
-        xmask = (jnp.arange(xpad) < X).astype(dtype)[:, None] * jnp.ones((1, Y), dtype)
-        fields = tuple(_pad_x_edge(f, xpad) for f in fields)
-        data = tuple(_pad_x_edge(d, xpad) for d in data)
-        consts = tuple(
-            _pad_x_edge(c, xpad) if (c.ndim == 2 and c.shape[0] == X) else c
-            for c in consts
-        ) + (xmask,)
-        inner_fn = row_fn
-
-        def row_fn(it, T_, rows, data_rows, pv, cons):
-            res = inner_fn(it, T_, rows, data_rows, pv, cons[:-1])
-            return tuple(r * cons[-1] for r in res)
-
+        row_fn, fields, data, consts = _apply_xpad(
+            row_fn, fields, data, consts, X, Y, xpad
+        )
         X = xpad
     if tile is None:
         tile = pick_tile(

@@ -718,7 +718,7 @@ def test_halo_generic_onepass_tiled(spec, part, multigrid, monkeypatch):
 
     monkeypatch.setattr(rowwise, "_FORCE_TILE", 8)
     mesh = parallel.mesh_from_spec(spec)
-    nx = 32 if spec == "x:2" else 32
+    nx = 64 if spec == "x:2" else 32
     problem, state, extra = vt.build(
         nt=8, nx=nx, ny=16, kernel="pallas", multigrid=multigrid,
         dtype=np.float64, mesh=mesh, partition=part,
