@@ -49,7 +49,10 @@ def estimate_normal_diag(f, x, key, nprobe=8):
     r0, pullback = jax.vjp(f, x)
 
     def probe(key):
-        z = jax.random.rademacher(key, r0.shape, dtype=x.dtype)
+        # The probe is a COTANGENT seed, so it lives in residual space:
+        # r0.dtype, not x.dtype (they differ when an operator's constants
+        # promote an f32 state's residuals to f64 under enabled x64).
+        z = jax.random.rademacher(key, r0.shape, dtype=r0.dtype)
         return jnp.square(pullback(z)[0])
 
     keys = jax.random.split(key, nprobe)

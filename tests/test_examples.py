@@ -87,3 +87,32 @@ def test_compare_pedagogy():
     finally:
         os.chdir(cwd)
         sys.argv = argv
+
+
+@pytest.mark.skipif(
+    __import__("jax").device_count() < 8, reason="needs 8 devices"
+)
+@pytest.mark.parametrize("kernel,halo,mesh", [
+    ("xla", 1, "t:2,x:2,y:2"),
+    ("pallas", 1, "t:2,x:4"),  # kernel halo: lane axis must stay unpartitioned
+    ("pallas", 0, "t:2,x:2,y:2"),
+])
+def test_veltracer_cli_mesh_and_halo(kernel, halo, mesh):
+    """The flagship CLI with --mesh/--halo: sharded training (GSPMD and the
+    explicit shard_map halo-exchange path, XLA and fused-kernel operators)
+    runs through the full harness on the 8-device CPU mesh, loss
+    decreasing -- the exact flags a multi-chip production run uses."""
+    problem, state, out = run_example(
+        "velocity_from_tracer",
+        "veltracer",
+        ["--Nx", "16", "--epochs", "40", "--kernel", kernel,
+         "--mesh", mesh, "--halo", str(halo)],
+    )
+    csv = os.path.join(out, "train.csv")
+    with open(csv) as f:
+        header = f.readline().strip().split(",")
+        rows = [line.strip().split(",") for line in f if line.strip()]
+    icol = header.index("loss")
+    losses = [float(r[icol]) for r in rows]
+    assert len(losses) >= 2
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses[0]} -> {losses[-1]}"
