@@ -194,6 +194,7 @@ class Context:
                     nterms=nterms,
                     hist=hist,
                     halox=halox,
+                    interpret=interpret,
                     block_rows=block_rows,
                     stream=stream,
                 )

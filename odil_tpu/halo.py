@@ -907,6 +907,7 @@ class _HaloContext:
                     stream=stream,
                     halox=halox,
                     xpad_masked=xpad_ok,
+                    interpret=interpret,
                 )
             )
             out = []
@@ -1250,6 +1251,15 @@ def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=N
         return None  # Depth-2 partials / extra grouped fields: unsupported.
     if any(plan.locs[k] != "ncc" for k in keys):
         return None
+    # Build-time declaration probe (global extras; the traced evaluation
+    # re-runs decl_fn on the localized ones): per-row data arrays are not
+    # supported on this route -- DECLINE to the fallback instead of
+    # asserting mid-trace -- and the VMEM gate must count the operator's
+    # actual const planes (plus the two internal consts, mask and meta).
+    decl0 = decl_fn(Context(domain, state, extra=problem.extra, tracers=problem.tracers))
+    if decl0.get("data"):
+        return None
+    nconsts_decl = len(decl0.get("consts", ())) + 2
     ax_t = plan.dim_axis.get(0)
     ax_x = plan.dim_axis.get(1)
     k_t = plan.axis_sizes[ax_t] if ax_t else 1
@@ -1283,7 +1293,10 @@ def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=N
     if (CX, CY) != (X // 2, Y // 2):
         return None
     local_shapes = tuple((Tl, Xe, Y) for _ in keys)
-    if mg_vmem_estimate(local_shapes, domain.dtype, hist=hist, nconsts=4) > MG_VMEM_LIMIT:
+    if (
+        mg_vmem_estimate(local_shapes, domain.dtype, hist=hist, nconsts=nconsts_decl)
+        > MG_VMEM_LIMIT
+    ):
         return None  # Local blocks beyond VMEM: no tiled local variant.
 
     from .transfer import _interp_matrix
@@ -1604,6 +1617,8 @@ def _make_halo_onepass_loss_grad_fn(problem, state, extra_partition=None, interp
         return None
     if interpret is None:
         for r in probe_recs:
+            if r.get("interpret") is not None:
+                continue  # Call-forced interpreter/compile mode always runs.
             if not onepass_supported(
                 r["fields"], r["params"], r["data"], r["consts"],
                 r["nterms"], r["hist"], halox=r.get("halox"),
@@ -1621,9 +1636,11 @@ def _make_halo_onepass_loss_grad_fn(problem, state, extra_partition=None, interp
         for idx, r in enumerate(recs):
             flds, prms, dat, cns = kin[idx]
             count = r["count"]
+            call_interp = r.get("interpret")
             out = rowwise_loss_and_grads(
                 r["row_fn"], flds, params=prms, data=dat, consts=cns,
-                nterms=r["nterms"], hist=r["hist"], interpret=interpret,
+                nterms=r["nterms"], hist=r["hist"],
+                interpret=interpret if call_interp is None else call_interp,
                 block_rows=r["block_rows"], gscale=1.0 / count,
                 halox=r.get("halox"), xpad_masked=r.get("xpad_masked", False),
             )

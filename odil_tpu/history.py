@@ -22,33 +22,46 @@ def _zero_of(value):
     """The backfill/placeholder value matching a recorded value's type."""
     if value is None:
         return None
-    if isinstance(value, bool) or not isinstance(value, (int, float, np.floating)):
-        raise ValueError("Unknown type: " + str(type(value)))
-    return 0 if isinstance(value, int) else 0.0
+    if isinstance(value, bool):
+        return False
+    if isinstance(value, str):
+        return ""
+    if isinstance(value, (int, np.integer)):
+        return 0
+    if isinstance(value, (float, np.floating)):
+        return 0.0
+    raise ValueError("Unknown type: " + str(type(value)))
 
 
 class _CsvSink:
     """Streams committed rows to a CSV file, freezing the column set at the
-    first written row."""
+    first written row.  Flushes are incremental: only rows [nwritten, count)
+    are formatted, so long runs stream in O(new rows), not O(history)."""
 
     def __init__(self, path):
         self.file = open(path, "w") if path is not None else None
         self.header = None  # Frozen column order, or None before first write.
         self.nwritten = 0
 
-    def flush(self, data, count):
-        """Writes rows [nwritten, count) of the columnar view `data`."""
+    def flush(self, rows, born, count):
+        """Writes rows [nwritten, count) of the committed row dicts; a row
+        predating a column's birth (possible within warmup only) gets the
+        type-matched zero of the column's first value."""
         if self.file is None:
             return
         if self.header is None:
-            self.header = list(data)
+            self.header = list(born)
             self.file.write(",".join(self.header) + "\n")
-        elif len(data) != len(self.header):
-            extra = sorted(set(data) - set(self.header))
+        elif len(born) != len(self.header):
+            extra = sorted(set(born) - set(self.header))
             raise RuntimeError(f"Unexpected keys in history: {extra}")
         while self.nwritten < count:
-            i = self.nwritten
-            self.file.write(",".join(str(data[k][i]) for k in self.header) + "\n")
+            row = rows[self.nwritten]
+            vals = [
+                str(row[k]) if k in row else str(_zero_of(rows[born[k]][k]))
+                for k in self.header
+            ]
+            self.file.write(",".join(vals) + "\n")
             self.nwritten += 1
         self.file.flush()
 
@@ -118,21 +131,25 @@ class History:
     @property
     def data(self):
         """Columnar {key: [values]} view (the reference's native layout),
-        zero-backfilled before each column's first appearance."""
-        out = {}
-        for key, born in self._born.items():
-            zero = None
-            for row in self._rows[born:]:
-                if key in row:
-                    zero = _zero_of(row[key])
-                    break
-            out[key] = [row.get(key, zero) for row in self._rows]
-        return out
+        zero-backfilled before each column's first appearance.  The zero is
+        only computed for columns born late (committed rows always carry
+        every column registered at their commit), so str/bool columns born
+        at row 0 need no numeric placeholder."""
+        return {key: self._column(key) for key in self._born}
+
+    def _column(self, key):
+        born = self._born[key]
+        if born >= len(self._rows):  # Registered by a pending append only.
+            return [None] * len(self._rows)
+        if born == 0:
+            return [row[key] for row in self._rows]
+        zero = _zero_of(self._rows[born][key])
+        return [row.get(key, zero) for row in self._rows]
 
     def get(self, key, default=None):
         if key not in self._born:
             return default
-        return self.data[key]
+        return self._column(key)
 
     # -- Output --------------------------------------------------------------
 
@@ -141,7 +158,7 @@ class History:
             self.commit()
         if self.count <= self.warmup:
             return
-        self._sink.flush(self.data, self.count)
+        self._sink.flush(self._rows, self._born, self.count)
 
     def save(self, path):
         with open(path, "wb") as f:

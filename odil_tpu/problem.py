@@ -215,7 +215,7 @@ class Problem:
             loss_fn = jax.checkpoint(loss_fn)
         return loss_fn, arrays0
 
-    def make_loss_grad_fn(self, state, halo=False, interpret=None):
+    def make_loss_grad_fn(self, state, halo=False, interpret=None, extra_partition=None):
         """Optimizer-path product: a pure function
         ``fn(arrays, tracers) -> ((loss, (terms, norms)), grads)`` -- the
         exact signature of ``jax.value_and_grad(loss_fn, has_aux=True)``.
@@ -246,7 +246,9 @@ class Problem:
         if halo:
             from .halo import make_halo_loss_grad_fn
 
-            return make_halo_loss_grad_fn(self, state, interpret=interpret)
+            return make_halo_loss_grad_fn(
+                self, state, extra_partition=extra_partition, interpret=interpret
+            )
         fn = self._make_mg_loss_grad_fn(state)
         if fn is not None:
             return fn
@@ -338,8 +340,6 @@ class Problem:
         outside the kernel envelope (off-TPU unless ``interpret=True``,
         64-bit dtype, streaming variant, beyond-VMEM working set); callers
         fall back to ``jax.value_and_grad``."""
-        import numpy as _np
-
         self._capture_structure(state)
         arrays0 = self.domain.arrays_from_state(state)
         from .ops.rowwise import _on_tpu
@@ -364,10 +364,12 @@ class Problem:
             from .ops.rowwise import _FORCE_TILE, onepass_supported
 
             if (
-                not _on_tpu() or _np.dtype(self.domain.dtype).itemsize > 4
+                not _on_tpu() or np.dtype(self.domain.dtype).itemsize > 4
             ) and not _FORCE_TILE:
                 return None
             for r in probe_recs:
+                if r.get("interpret") is not None:
+                    continue  # Call-forced interpreter/compile mode always runs.
                 if not onepass_supported(
                     r["fields"], r["params"], r["data"], r["consts"],
                     r["nterms"], r["hist"], halox=r.get("halox"),
@@ -411,9 +413,13 @@ class Problem:
             for idx, r in enumerate(recs):
                 flds, prms, dat, cns = kin[idx]
                 cells = float(np.prod(flds[0].shape))
+                # The call's own interpret= (recorded by ctx.rowwise_terms)
+                # overrides the builder's, matching the forward-loss path.
+                call_interp = r.get("interpret")
                 out = rowwise_loss_and_grads(
                     r["row_fn"], flds, params=prms, data=dat, consts=cns,
-                    nterms=r["nterms"], hist=r["hist"], interpret=interpret,
+                    nterms=r["nterms"], hist=r["hist"],
+                    interpret=interpret if call_interp is None else call_interp,
                     block_rows=r["block_rows"], gscale=1.0 / cells,
                     halox=r.get("halox"),
                 )

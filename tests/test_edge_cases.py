@@ -118,3 +118,32 @@ def test_history_unknown_late_column_raises(tmp_path):
     h.append("b", 3.0)  # New column after the header froze.
     with pytest.raises(RuntimeError):
         h.write()
+
+
+def test_history_str_and_bool_columns(tmp_path):
+    """str columns (the --linsolver_history lin_status idiom, util.py) and
+    bools must stream to CSV and backfill: born-at-0 columns need no
+    numeric placeholder, late-born ones backfill ''/False, and the None
+    placeholder append reuses the column's typed zero."""
+    import os
+
+    os.chdir(tmp_path)
+    h = odil.History(csvpath="h.csv", warmup=1)
+    h.append("loss", 1.0)
+    h.append("lin_status", "converged")
+    h.write()
+    h.append("loss", 0.5)
+    h.append("lin_status", None)  # placeholder -> "" (typed zero)
+    h.append("ok", True)  # late-born within warmup: backfills False at row 0
+    h.write()
+    assert h.get("lin_status") == ["converged", ""]
+    assert h.get("ok") == [False, True]
+    h.save("h.pickle")
+    with open("h.csv") as f:
+        header = f.readline().strip().split(",")
+        rows = [line.strip().split(",") for line in f]
+    icol = header.index("lin_status")
+    assert [r[icol] for r in rows] == ["converged", ""]
+    h2 = odil.History()
+    h2.load("h.pickle")
+    assert h2.get("ok") == [False, True]
