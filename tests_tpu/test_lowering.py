@@ -13,11 +13,32 @@ import pytest
 
 import jax
 
-pytestmark = pytest.mark.skipif(
-    jax.devices()[0].platform not in ("tpu", "axon")
-    and "TPU" not in str(jax.devices()[0]).upper(),
-    reason="needs a TPU device",
-)
+def _tpu_available(timeout=120):
+    """True only when a TPU backend initializes promptly: backend init goes
+    through a remote tunnel here, so failures -- an error OR an indefinite
+    stall (observed: a down tunnel hangs init for 25+ minutes) -- must SKIP
+    the lane, not error or hang collection.  A healthy tunnel initializes
+    in seconds; the probe runs in a daemon thread with a timeout."""
+    import threading
+
+    result = []
+
+    def probe():
+        try:
+            dev = jax.devices()[0]
+            result.append(
+                dev.platform in ("tpu", "axon") or "TPU" in str(dev).upper()
+            )
+        except Exception:
+            result.append(False)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout)
+    return bool(result) and result[0]
+
+
+pytestmark = pytest.mark.skipif(not _tpu_available(), reason="needs a TPU device")
 
 
 def _eval(problem, state):
