@@ -52,8 +52,6 @@ def main():
     print(f"ladder shapes: {shapes}")
 
     rng = np.random.default_rng(0)
-    levels1 = [jnp.asarray(rng.standard_normal(s).astype(np.float32))
-               for s in shapes]
     levels3 = [jnp.asarray(rng.standard_normal((3,) + s).astype(np.float32))
                for s in shapes]
 
@@ -80,8 +78,6 @@ def main():
         return acc
 
     def timed(name, fn, example):
-        f = jax.jit(lambda xs: fn(xs))
-
         def step(xs):
             out, vjp = jax.vjp(fn, xs)
             (gxs,) = vjp(out)  # arbitrary cotangent with the output's scale
@@ -104,7 +100,6 @@ def main():
             out = cfun(example)
             jax.block_until_ready(out)
             ts.append((time.perf_counter() - t0) / args.length * 1e3)
-        del f
         print(f"  {name:34s} {min(ts):.4f} ms/iter "
               f"[{', '.join(f'{t:.4f}' for t in ts)}]")
         return min(ts)
@@ -112,9 +107,8 @@ def main():
     timed("batched(3) minor-first", lambda xs: ladder(xs, "minor", True), levels3)
     timed("batched(3) major-first", lambda xs: ladder(xs, "major", True), levels3)
     timed("per-field x3 minor-first",
-          lambda xs: sum(jnp.sum(ladder([x[i] for x in xs], "minor", False))
-                         for i in range(3)) * jnp.ones(()) if False else
-          jnp.stack([ladder([x[i] for x in xs], "minor", False) for i in range(3)]),
+          lambda xs: jnp.stack([ladder([x[i] for x in xs], "minor", False)
+                                for i in range(3)]),
           levels3)
     timed("per-field x3 major-first",
           lambda xs: jnp.stack([ladder([x[i] for x in xs], "major", False)
