@@ -107,6 +107,7 @@ class Domain:
         # Sharding.
         self.mesh = mesh
         self.partition = dict(partition) if partition else None
+        self._sharding_warned = set()
 
         # Multigrid hierarchy.
         self.multigrid = multigrid
@@ -234,7 +235,10 @@ class Domain:
         """NamedSharding for a grid field, or None.
 
         Axes whose size does not divide the mesh axis (staggered +1 nodes,
-        coarse multigrid levels) are replicated instead of sharded."""
+        coarse multigrid levels) are replicated instead of sharded.  Dropping
+        a partition at the *finest* grid size usually means a mistyped mesh
+        (the whole axis silently serializes), so that case logs a warning
+        once per (dim, size, mesh axis)."""
         if self.mesh is None or self.partition is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec
@@ -244,6 +248,18 @@ class Domain:
         for d, name in enumerate(self.dimnames):
             axis = self.partition.get(name)
             if axis is not None and shape is not None and shape[d] % axis_sizes[axis] != 0:
+                if shape[d] >= self.cshape[d]:
+                    key = (name, shape[d], axis)
+                    if key not in self._sharding_warned:
+                        self._sharding_warned.add(key)
+                        from .util import printlog
+
+                        printlog(
+                            f"warning: replicating dim '{name}' (size {shape[d]}) "
+                            f"instead of sharding over mesh axis '{axis}' "
+                            f"({axis_sizes[axis]} devices): size does not divide "
+                            f"the axis; this serializes the dimension"
+                        )
                 axis = None
             entries.append(axis)
         return NamedSharding(self.mesh, PartitionSpec(*entries))

@@ -7,7 +7,7 @@ big-endian binary).
 """
 
 import os
-import re
+import xml.etree.ElementTree as _ET
 
 import numpy as np
 
@@ -55,31 +55,42 @@ _XMF_TEMPLATE = """\
 
 def parse_raw_xmf(xmfpath):
     """Parses XMF metadata; returns dict with rawpath, count, spacing, name,
-    precision, cell."""
-    with open(xmfpath) as f:
-        text = "".join(f.read().split("\n"))
-    m = re.findall(
-        r"<Xdmf.*<Attribute.*"
-        r"<DataItem.*<DataItem.*"
-        r'<DataItem.*Dimensions="(\d*) (\d*) (\d*)".*Precision="(\d*)".*?> *([a-z0-9_.]*)',
-        text,
-    )[0]
-    count = tuple(map(int, m[:3]))
-    precision = int(m[3])
-    rawpath = os.path.join(os.path.dirname(xmfpath), m[4])
+    precision, cell.
 
-    attr = re.findall(r'<Attribute Name="([^"]*)" AttributeType="Scalar" Center="([a-zA-Z]*)">', text)[0]
-    if attr[1] not in ("Cell", "Node"):
-        raise RuntimeError(f"Unknown Center='{attr[1]}'")
-    spacing_text = re.findall(r'<DataItem Name="Spacing".*?> *(.*?)<', text)[0]
-    spacing = tuple(map(float, reversed(spacing_text.split())))
+    Walks the XDMF2 document tree (rather than pattern-matching the text):
+    the scalar ``Attribute`` supplies the name and centering, the binary
+    ``DataItem`` under it supplies the raw-file path, element count and
+    precision, and the geometry's ``Spacing`` item supplies the grid steps
+    (stored z-major in the file, returned x-major here).
+    """
+    root = _ET.parse(xmfpath).getroot()
+
+    attr = root.find(".//Attribute[@AttributeType='Scalar']")
+    if attr is None:
+        raise RuntimeError(f"No scalar Attribute in '{xmfpath}'")
+    center = attr.get("Center", "")
+    if center not in ("Cell", "Node"):
+        raise RuntimeError(f"Unknown Center='{center}'")
+
+    binitem = attr.find(".//DataItem[@Format='Binary']")
+    if binitem is None:
+        raise RuntimeError(f"No binary DataItem in '{xmfpath}'")
+    count = tuple(int(v) for v in binitem.get("Dimensions", "").split())
+    precision = int(binitem.get("Precision", "8"))
+    rawpath = os.path.join(os.path.dirname(xmfpath), (binitem.text or "").strip())
+
+    spacing_item = root.find(".//DataItem[@Name='Spacing']")
+    if spacing_item is None:
+        raise RuntimeError(f"No Spacing DataItem in '{xmfpath}'")
+    spacing = tuple(float(v) for v in reversed((spacing_item.text or "").split()))
+
     return {
         "rawpath": rawpath,
         "count": count,
         "spacing": spacing,
-        "name": attr[0],
+        "name": attr.get("Name", ""),
         "precision": precision,
-        "cell": attr[1] == "Cell",
+        "cell": center == "Cell",
     }
 
 

@@ -4,9 +4,12 @@ Menu-compatible with the reference (``src/odil/linsolver.py``): forms the
 damped normal equations  (M^T M + damp^2 I + dampdiag^2 diag(M^T M)) x = M^T b
 and solves with the selected method.  Differences:
 
-- ``multigrid`` runs diagonally-preconditioned CG (the reference requires
-  the external PyAMG package; the TPU-native multigrid-preconditioned
-  solver lives in ``newton.py`` as the matrix-free path).
+- ``multigrid``/``vcycle`` run CG preconditioned by the built-in
+  smoothed-aggregation AMG (``amg.py``) — the reference gates the same
+  capability on the external PyAMG package
+  (``src/odil/linsolver.py:61-72``); the TPU-native multilevel solver
+  lives in ``newton.py`` as the matrix-free path.
+- ``cg`` runs diagonally-preconditioned CG.
 - CUDA variants (``direct_cu``, ``lsqr_cu``) and ``sparseqr`` raise unless
   their optional modules exist.
 """
@@ -63,11 +66,24 @@ def solve(matr, rhs, args, status=None, linsolver="direct"):
         status.update(residual=arnorm, anorm=anorm, acond=acond, niter=itn)
         return sol
     if linsolver in ("multigrid", "vcycle", "cg"):
-        # Jacobi-preconditioned CG on the normal equations.
         reg, rhs_reg = _normal_equations(matr, rhs, args)
-        diag = reg.diagonal()
-        diag = np.where(np.abs(diag) > 1e-30, diag, 1.0)
-        precond = spla.LinearOperator(reg.shape, matvec=lambda v: v / diag)
+        if linsolver == "cg":
+            # Jacobi-preconditioned CG on the normal equations.
+            diag = reg.diagonal()
+            diag = np.where(np.abs(diag) > 1e-30, diag, 1.0)
+            precond = spla.LinearOperator(reg.shape, matvec=lambda v: v / diag)
+        else:
+            # Smoothed-aggregation AMG V-cycle preconditioner (amg.py).
+            from .amg import build_hierarchy
+
+            hierarchy = build_hierarchy(
+                reg,
+                theta=0.2,
+                cheb_degree=max(1, getattr(args, "smooth_pre", 3)),
+                max_coarse=max(getattr(args, "ndirect", 3) ** 2, 64),
+            )
+            precond = hierarchy.aslinearoperator()
+            status["amg_levels"] = hierarchy.nlevels
         residuals = []
 
         def track(x):

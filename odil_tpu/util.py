@@ -21,53 +21,66 @@ import numpy as np
 from .history import History
 from .optim import EarlyStopError, Optimizer, make_optimizer
 
-g_log_file = sys.stderr
-g_log_echo = False
+class _LogSink:
+    """Destination of :func:`printlog`: a primary stream, optionally echoed
+    to stderr when the primary stream is a file (``--echo``)."""
+
+    def __init__(self):
+        self.stream = sys.stderr
+        self.echo = False
+
+    def emit(self, text):
+        if self.echo and self.stream is not sys.stderr:
+            sys.stderr.write(text)
+            sys.stderr.flush()
+        self.stream.write(text)
+        self.stream.flush()
+
+
+_log_sink = _LogSink()
 
 
 def assert_equal(first, second, msg=""):
-    if not (first == second):
-        raise ValueError(f"Expected equal '{first}' and '{second}'{msg}")
+    if not first == second:
+        raise ValueError(f"mismatch: {first!r} != {second!r}{msg}")
 
 
 def set_log_file(f=None, echo=None):
-    global g_log_file, g_log_echo
+    """Redirects :func:`printlog` (reference contract ``util.set_log_file``);
+    either argument may be omitted to leave it unchanged."""
     if f is not None:
-        g_log_file = f
+        _log_sink.stream = f
     if echo is not None:
-        g_log_echo = echo
+        _log_sink.echo = echo
 
 
 def printlog(*msg):
-    line = " ".join(map(str, msg)) + "\n"
-    if g_log_echo and g_log_file != sys.stderr:
-        sys.stderr.write(line)
-        sys.stderr.flush()
-    g_log_file.write(line)
-    g_log_file.flush()
+    _log_sink.emit(" ".join(str(m) for m in msg) + "\n")
 
 
 class Timer:
-    """Push/pop wall-clock accumulator keyed by label."""
+    """Nested wall-clock accumulator: ``push()`` opens a span, ``pop()``
+    closes the innermost open span and adds its duration to
+    ``counters[label]``.  The label may be given at either end (or both, in
+    which case they must agree)."""
 
     def __init__(self):
-        self._starts = []
-        self.counters = dict()
+        self.counters = {}
+        self._open = []
 
     def push(self, key=None):
-        self._starts.append((key, time.time()))
+        self._open.append((key, time.perf_counter()))
 
     def pop(self, key=None):
-        start_key, start_time = self._starts.pop()
-        assert start_key is None or key is None or start_key == key, (
-            f"Inconsistent keys passed to push() and pop(): {start_key} and {key}"
-        )
-        key = key if start_key is None else start_key
-        self.counters[key] = self.counters.get(key, 0.0) + (time.time() - start_time)
+        opened_as, t0 = self._open.pop()
+        if opened_as is not None and key is not None and opened_as != key:
+            raise ValueError(f"Timer span opened as {opened_as!r}, closed as {key!r}")
+        label = key if opened_as is None else opened_as
+        self.counters[label] = self.counters.get(label, 0.0) + (time.perf_counter() - t0)
 
     def append(self, timer):
-        for k, v in timer.counters.items():
-            self.counters[k] = self.counters.get(k, 0.0) + v
+        for label, dt in timer.counters.items():
+            self.counters[label] = self.counters.get(label, 0.0) + dt
 
 
 def get_error(u, v):

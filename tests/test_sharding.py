@@ -195,3 +195,46 @@ def test_multi_start_per_instance_validation():
         parallel.multi_start(problem, state, 2, per_instance={"nope": np.zeros((2, 8, 8))})
     with pytest.raises(ValueError):
         parallel.multi_start(problem, state, 2, per_instance={"u": np.zeros((3, 8, 8))})
+
+
+def test_divisibility_fallback_warns_once(capsys):
+    """A finest-level axis that does not divide its mesh axis replicates AND
+    logs a warning (once); coarse multigrid levels replicate silently."""
+    import io as _io
+    import sys
+
+    import odil_tpu.util as util
+
+    mesh = parallel.mesh_from_spec("x:8")
+    domain = odil.Domain(cshape=(12, 12), dimnames=["x", "y"], mesh=mesh, partition={"x": "x"})
+    buf = _io.StringIO()
+    old_stream, old_echo = util._log_sink.stream, util._log_sink.echo
+    util.set_log_file(buf, echo=False)
+    try:
+        s = domain.field_sharding(shape=(12, 12))  # 12 % 8 != 0 -> replicate + warn
+        assert s.is_fully_replicated
+        domain.field_sharding(shape=(12, 12))  # repeated: no second warning
+        domain.field_sharding(shape=(6, 6))  # coarse level: silent
+    finally:
+        util.set_log_file(old_stream, echo=old_echo)
+    text = buf.getvalue()
+    assert text.count("warning: replicating dim 'x'") == 1
+    assert "size 12" in text
+
+
+def test_divisible_axis_no_warning():
+    import io as _io
+
+    import odil_tpu.util as util
+
+    mesh = parallel.mesh_from_spec("x:2")
+    domain = odil.Domain(cshape=(16, 16), dimnames=["x", "y"], mesh=mesh, partition={"x": "x"})
+    buf = _io.StringIO()
+    old_stream, old_echo = util._log_sink.stream, util._log_sink.echo
+    util.set_log_file(buf, echo=False)
+    try:
+        s = domain.field_sharding(shape=(16, 16))
+        assert not s.is_fully_replicated
+    finally:
+        util.set_log_file(old_stream, echo=old_echo)
+    assert buf.getvalue() == ""
