@@ -238,3 +238,70 @@ def test_divisible_axis_no_warning():
     finally:
         util.set_log_file(old_stream, echo=old_echo)
     assert buf.getvalue() == ""
+
+
+# ---------------------------------------------------------------------------
+# Second-order (matrix-free Gauss-Newton) under sharding: the GSPMD mesh is
+# the TPU-native scaling path for gn -- CG dot products and the multilevel
+# preconditioner probes become psums automatically.  Reference capability
+# being scaled: src/odil/util.py:152-187 + linsolver.py.
+# ---------------------------------------------------------------------------
+
+
+def gn_args(linsolver, epochs=2, damp=0):
+    # A 1e-12-level iterate comparison needs CONVERGED linear solves whose
+    # SOLUTION accuracy is not condition-limited (solution error ~ cond *
+    # relative residual, and an unconverged iterate is sensitive to the
+    # mesh psums' reduction order -- drift, not a bug).  The V-cycle lane
+    # converges undamped to machine precision; the Jacobi/BPX lanes get a
+    # Levenberg damp large enough that cond(J^T J + damp^2 I) ~ 1, so the
+    # equality exercises the sharded jvp/vjp/dot machinery (rhs = -J^T r)
+    # at full precision rather than CG asymptotics.
+    return argparse.Namespace(
+        epochs=epochs, epoch_start=0, linsolver=linsolver,
+        linsolver_tol=1e-12, linsolver_damp=damp, linsolver_dampdiag=0,
+        linsolver_maxiter=400, linsolver_precond_every=0, seed=0,
+        nlvl=100, smooth_pre=3, ndirect=3,
+    )
+
+
+@pytest.mark.parametrize(
+    "linsolver,damp", [("vcycle", 0), ("multigrid", 1e4), ("cg", 1e4)]
+)
+def test_gauss_newton_sharded_matches_single_device(linsolver, damp):
+    """A GN step (V-cycle / BPX / Hutchinson-Jacobi preconditioned CG) on the
+    8-device mesh reproduces the single-device iterate."""
+    from odil_tpu.newton import optimize_gauss_newton
+
+    problem0, state0 = poisson_like_problem(N=32)
+    optimize_gauss_newton(gn_args(linsolver, damp=damp), problem0, state0)
+    u0 = np.asarray(problem0.domain.field(state0, "u"))
+
+    mesh = parallel.mesh_from_spec("x:2,y:4")
+    problem1, state1 = poisson_like_problem(
+        mesh=mesh, partition={"x": "x", "y": "y"}, N=32
+    )
+    assert not state1.fields["u"].array.sharding.is_fully_replicated
+    optimize_gauss_newton(gn_args(linsolver, damp=damp), problem1, state1)
+    u1 = np.asarray(problem1.domain.field(state1, "u"))
+    np.testing.assert_allclose(u1, u0, rtol=0, atol=1e-11 * max(1.0, np.abs(u0).max()))
+
+
+def test_gauss_newton_sharded_wave():
+    """GN on the wave fixture (two coupled fields, hist-2 stencil) under a
+    time partition matches single-device."""
+    from odil_tpu.models import wave as wv
+    from odil_tpu.newton import optimize_gauss_newton
+
+    problem0, state0, _ = wv.build(nt=16, nx=16, multigrid=False, dtype=np.float64)
+    optimize_gauss_newton(gn_args("cg", damp=1e4), problem0, state0)
+    u0 = np.asarray(problem0.domain.field(state0, "u"))
+
+    mesh = parallel.mesh_from_spec("t:4")
+    problem1, state1, _ = wv.build(
+        nt=16, nx=16, multigrid=False, dtype=np.float64,
+        mesh=mesh, partition={"t": "t"},
+    )
+    optimize_gauss_newton(gn_args("cg", damp=1e4), problem1, state1)
+    u1 = np.asarray(problem1.domain.field(state1, "u"))
+    np.testing.assert_allclose(u1, u0, rtol=0, atol=1e-11 * max(1.0, np.abs(u0).max()))
