@@ -140,8 +140,17 @@ class Problem:
             factors = f0.factors or domain.mg_factors or [1] * nlvl
             axes = f0.axes or domain.mg_axes
             method = f0.method or domain.mg_interp
-            loc_active = "." + "".join(l if ax else "." for l, ax in zip(f0.loc, axes))
-            stacked = [mod.stack([f.terms[lvl].array for f in fs]) for lvl in range(nlvl)]
+            loc_field = "".join(l if ax else "." for l, ax in zip(f0.loc, axes))
+            loc_active = "." + loc_field
+            # Batch the ladder only at levels >= 1: the coarse arrays are
+            # tiny (<= 1/8 of the fine size), so batching them turns many
+            # sub-tile transfer ops into few -- but stacking the FINEST
+            # level would materialize an (nf, T, X, Y) copy, and its
+            # slice/concat transposes under jax.vjp cost several full-size
+            # HBM sweeps per training step (measured ~2 ms/iter at 512^2,
+            # BENCH_NOTES round 3).  The finest Horner step runs per field
+            # instead, fusing into one multiply-add per field.
+            stacked = [mod.stack([f.terms[lvl].array for f in fs]) for lvl in range(1, nlvl)]
             if partial_out is not None and nlvl >= 2:
                 # Stop the Horner ladder early; the fused kernel does the
                 # fused step(s) in VMEM.  depth 1: stop at level 1 (the
@@ -152,21 +161,29 @@ class Problem:
                 # see BENCH_NOTES.md.)
                 stop = 2 if (partial_depth >= 2 and nlvl >= 3) else 1
                 acc = stacked[-1] * factors[-1]
-                for arr, fac in zip(reversed(stacked[stop:-1]), reversed(factors[stop:-1])):
+                for arr, fac in zip(reversed(stacked[stop - 1 : -1]), reversed(factors[stop:-1])):
                     acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
                 for i, k in enumerate(keys):
                     if stop == 2:
                         partial_out[k] = (
-                            stacked[0][i], factors[0], stacked[1][i], factors[1], acc[i]
+                            fs[i].terms[0].array, factors[0],
+                            fs[i].terms[1].array, factors[1], acc[i],
                         )
                     else:
-                        partial_out[k] = (stacked[0][i], factors[0], acc[i])
+                        partial_out[k] = (fs[i].terms[0].array, factors[0], acc[i])
                 continue
-            acc = stacked[-1] * factors[-1]
-            for arr, fac in zip(reversed(stacked[:-1]), reversed(factors[:-1])):
-                acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
-            for i, k in enumerate(keys):
-                new_fields[k] = Field(acc[i], loc=f0.loc)
+            if nlvl >= 2:
+                acc = stacked[-1] * factors[-1]
+                for arr, fac in zip(reversed(stacked[:-1]), reversed(factors[1:-1])):
+                    acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
+                for i, k in enumerate(keys):
+                    fine = fs[i].terms[0].array * factors[0] + interp_to_finer(
+                        acc[i], loc_field, method, mod
+                    )
+                    new_fields[k] = Field(fine, loc=f0.loc)
+            else:
+                for i, k in enumerate(keys):
+                    new_fields[k] = Field(fs[i].terms[0].array * factors[0], loc=f0.loc)
         from .fields import State
 
         return State(fields=new_fields, initialized=True)

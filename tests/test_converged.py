@@ -1,0 +1,111 @@
+"""Converged-accuracy lane (opt-in: ``pytest -m slow tests/test_converged.py``).
+
+Each workload runs at its CANONICAL configuration and epoch count -- the
+configurations of the side-by-side reference runs archived in
+``docs/parity_data`` (see BENCH_NOTES.md "Accuracy parity") -- and the
+final loss / solution errors are gated against the reference's recorded
+finals.  This complements tests/test_parity.py, whose CI-sized runs gate
+trajectory drift but not converged accuracy.
+
+Margins encode the already-measured equal-iteration spread between the
+two implementations (different RNG backends, fp32 reduction order), with
+headroom on top; a regression that degrades converged accuracy by more
+than that spread fails the lane.
+"""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from test_examples import run_example
+
+PARITY_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "parity_data"
+)
+
+pytestmark = pytest.mark.slow
+
+# (case, example subdir, module, argv, ref csv, {column: margin_factor})
+# Margins multiply the reference's recorded final value.
+CONVERGED_CASES = [
+    (
+        # BENCH_NOTES: poisson 64^2 --ref osc --rhs exact, Adam lr 5e-3
+        # fp64, 1000 epochs; ref final error_u 0.0111, loss 13.5 (the error
+        # oscillates epoch-to-epoch at this lr; round-1 measured ours at
+        # 0.0121 / 11.5).
+        "poisson",
+        "poisson",
+        "poisson",
+        ["--N", "64", "--ref", "osc", "--rhs", "exact", "--double", "1",
+         "--epochs", "1000", "--history_every", "50"],
+        "ref_poisson.csv",
+        {"error_u": 1.5, "loss": 1.6},
+    ),
+    (
+        # wave 64^2 L-BFGS-B fp64, 200 epochs; ref final error_u 0.1857,
+        # loss 0.602 (ours measured 0.1875 / 0.639).
+        "wave",
+        "wave",
+        "wave",
+        ["--Nt", "64", "--Nx", "64", "--double", "1", "--optimizer", "lbfgsb",
+         "--epochs", "200", "--history_every", "20"],
+        "ref_wave.csv",
+        {"error_u": 1.3, "loss": 1.6},
+    ),
+    (
+        # heat inverse-conductivity 64^2, Adam fp32, stripe measurements,
+        # 1500 epochs; ref final loss 0.0067, error_u 0.0396, error_k 0.404
+        # (ours measured 0.0137 / 0.0560 / 0.392 -- the loss margin covers
+        # the 2.1x RNG-initialization spread).
+        "heat_inverse",
+        "heat",
+        "heat",
+        ["--Nt", "64", "--Nx", "64", "--epochs", "1500", "--history_every", "100",
+         "--infer_k", "1", "--imposed", "stripe"],
+        "ref_heat_inv.csv",
+        {"loss": 3.0, "error_u": 2.0, "error_k": 1.4},
+    ),
+    (
+        # infer_constant 64^2 L-BFGS-B fp64, 100 epochs; round-1 measured
+        # agreement to 7 significant digits on all inferred constants.
+        "infer_constant",
+        "infer_constant",
+        "infer_constant",
+        ["--Nt", "64", "--Nx", "64", "--double", "1", "--optimizer", "lbfgsb",
+         "--epochs", "100", "--history_every", "20"],
+        "ref_infconst.csv",
+        {"norm_0": 1.1, "c_diff": 1.1, "c_src": 1.1, "c_vel": 1.1},
+    ),
+]
+
+IDS = [c[0] for c in CONVERGED_CASES]
+
+
+def read_csv(path):
+    with open(path) as f:
+        return list(csv.DictReader(f))
+
+
+@pytest.mark.parametrize(
+    "case,subdir,module,argv,refcsv,margins", CONVERGED_CASES, ids=IDS
+)
+def test_converged_accuracy(case, subdir, module, argv, refcsv, margins):
+    ref_rows = read_csv(os.path.join(PARITY_DIR, refcsv))
+    ref_final = ref_rows[-1]
+    problem, state, out = run_example(subdir, module, argv)
+    rows = read_csv(os.path.join(out, "train.csv"))
+    assert int(float(rows[-1]["epoch"])) == int(float(ref_final["epoch"])), (
+        "run did not reach the reference's final epoch",
+        rows[-1]["epoch"],
+        ref_final["epoch"],
+    )
+    for col, factor in margins.items():
+        ref_val = abs(float(ref_final[col]))
+        got = abs(float(rows[-1][col]))
+        bound = factor * max(ref_val, 1e-12)
+        assert np.isfinite(got) and got <= bound, (
+            f"{case}: final |{col}|={got} exceeds {factor}x the reference "
+            f"final {ref_val} (bound {bound})"
+        )
