@@ -1293,11 +1293,31 @@ def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=N
     if (CX, CY) != (X // 2, Y // 2):
         return None
     local_shapes = tuple((Tl, Xe, Y) for _ in keys)
+    tiled_cfg = None
     if (
         mg_vmem_estimate(local_shapes, domain.dtype, hist=hist, nconsts=nconsts_decl)
         > MG_VMEM_LIMIT
     ):
-        return None  # Local blocks beyond VMEM: no tiled local variant.
+        # Beyond-VMEM local blocks: the x-tiled local MG kernel
+        # (ops/rowwise_mg_local_tiled.py) keeps the fused route, with the
+        # window geometry host-verified for every device index of this
+        # mesh before committing to it.
+        from .ops.rowwise_mg_local_tiled import (
+            mg_local_tiled_supported,
+            verify_support,
+        )
+        from .transfer import _interp_matrix as _imat
+
+        tiled_cfg = mg_local_tiled_supported(
+            Xe, Y, domain.dtype, len(keys), nconsts_decl, hist,
+            halox=max(int(halox), 1), hx=hx,
+        )
+        if tiled_cfg is not None and not verify_support(
+            _imat(X // 2, "c", np.float64), X, X // 2, XB, hx, k_x, tiled_cfg
+        ):
+            tiled_cfg = None
+        if tiled_cfg is None:
+            return None  # Fall back to the generic tiled one-pass.
 
     from .transfer import _interp_matrix
 
@@ -1348,8 +1368,8 @@ def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=N
         if hx:
             mcol = (jnp.arange(Xe) >= hx) & (jnp.arange(Xe) < Xe - hx)
             pmask = pmask * mcol[:, None].astype(rdtype)
+        x0 = jax.lax.axis_index(ax_x) * XB if ax_x is not None else jnp.int32(0)
         if ax_x is not None:
-            x0 = jax.lax.axis_index(ax_x) * XB
             Wxl = jnp.take(
                 Wx_full, (x0 - hx + jnp.arange(Xe)) % X, axis=0
             )
@@ -1399,8 +1419,7 @@ def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=N
                 m = m * ((it != 0) | (mt[0, 1] > 0)).astype(rdtype)
             return tuple(r * m for r in res)
 
-        sums, (dt0x, dPw, dheads, dparams) = rowwise_mg_local_loss_and_grads(
-            wrapped,
+        kernel_kwargs = dict(
             t0s=tuple(t0x[k] for k in keys),
             coarse=tuple(Pw[k] for k in keys),
             Wx=Wxl,
@@ -1413,6 +1432,23 @@ def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=N
             gscale=1.0 / cells,
             interpret=interpret,
         )
+        if tiled_cfg is not None:
+            from .ops.rowwise_mg_local_tiled import (
+                rowwise_mg_local_tiled_loss_and_grads,
+            )
+
+            sums, (dt0x, dPw, dheads, dparams) = (
+                rowwise_mg_local_tiled_loss_and_grads(
+                    wrapped,
+                    s_shift=x0 // 2 - tiled_cfg[4],
+                    cfg=tiled_cfg,
+                    **kernel_kwargs,
+                )
+            )
+        else:
+            sums, (dt0x, dPw, dheads, dparams) = rowwise_mg_local_loss_and_grads(
+                wrapped, **kernel_kwargs
+            )
         assert not dparams
         (dparts,) = vjp_loc(
             (

@@ -740,3 +740,77 @@ def test_halo_generic_onepass_tiled(spec, part, multigrid, monkeypatch):
         np.testing.assert_allclose(
             a, b, rtol=1e-12, atol=1e-13 * max(1.0, np.max(np.abs(a)))
         )
+
+
+@pytest.mark.parametrize("spec,part", [
+    ("x:2", {"x": "x"}),
+    ("t:2,x:2", {"t": "t", "x": "x"}),
+    ("t:4", {"t": "t"}),
+])
+def test_halo_onepass_mg_tiled_matches_gspmd(spec, part, monkeypatch):
+    """The MG-fused TILED one-pass (ops/rowwise_mg_local_tiled.py) under
+    halo: local blocks beyond the untiled kernel's VMEM fit keep the fused
+    route via x tiling with runtime-gathered per-tile prolongation
+    sub-matrices (virtual coarse axis) and edge-padded non-tileable
+    extents.  Forced at small shapes by shrinking the untiled VMEM limit;
+    must equal the replicated GSPMD value_and_grad to roundoff."""
+    import odil_tpu.halo as halo_mod
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.ops import rowwise_mg
+
+    monkeypatch.setattr(rowwise_mg, "MG_VMEM_LIMIT", 1)
+
+    mesh = parallel.mesh_from_spec(spec)
+    problem, state, extra = vt.build(
+        nt=16, nx=64, ny=16, kernel="pallas_mg", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition=part,
+    )
+    loss1, terms1, norms1, grads1 = _run_halo_onepass(problem, state)
+
+    loss_fn0, arrays0 = problem.make_loss_fn(state)
+    (loss0, (terms0, _)), grads0 = jax.jit(
+        jax.value_and_grad(loss_fn0, has_aux=True)
+    )(arrays0, problem.tracers)
+    np.testing.assert_allclose(loss1, np.asarray(loss0), rtol=1e-12)
+    for a, b in zip(terms0, terms1):
+        np.testing.assert_allclose(np.asarray(a), b, rtol=1e-12)
+    assert len(grads0) == len(grads1)
+    for a, b in zip(grads0, grads1):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-12, atol=1e-13 * max(1.0, np.max(np.abs(a)))
+        )
+
+
+def test_halo_onepass_mg_tiled_scanned_adam_trajectory(monkeypatch):
+    """Scanned-Adam training through the tiled MG-fused halo one-pass
+    reproduces the replicated fused trajectory."""
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.optim import make_optimizer
+    from odil_tpu.ops import rowwise_mg
+
+    def train(mesh, part, halo):
+        problem, state, extra = vt.build(
+            nt=8, nx=64, ny=16, kernel="pallas_mg", multigrid=True,
+            dtype=np.float64, mesh=mesh, partition=part,
+        )
+        from odil_tpu.halo import make_halo_loss_fn
+
+        if halo:
+            loss_fn, arrays = make_halo_loss_fn(problem, state)
+            lg = problem.make_loss_grad_fn(state, halo=True)
+            assert lg is not None
+        else:
+            loss_fn, arrays = problem.make_loss_fn(state)
+            lg = None
+        opt = make_optimizer("adamn", dtype=problem.domain.dtype, mod=problem.domain.mod)
+        opt.bind(loss_fn, tracers=problem.tracers, task_epochs=[0, 15],
+                 names=None, loss_grad_fn=lg)
+        arrays, optinfo = opt.run(arrays, epochs=15, lr=0.02)
+        return float(loss_fn(arrays, problem.tracers)[0])
+
+    l_ref = train(None, {}, halo=False)
+    monkeypatch.setattr(rowwise_mg, "MG_VMEM_LIMIT", 1)
+    mesh = parallel.mesh_from_spec("t:2,x:2")
+    l_halo = train(mesh, {"t": "t", "x": "x"}, halo=True)
+    np.testing.assert_allclose(l_halo, l_ref, rtol=1e-10)

@@ -248,3 +248,41 @@ def test_halo_tiled_kernel_lowers():
             a, b = np.asarray(a), np.asarray(b)
             scale = max(1.0, float(np.max(np.abs(a))))
             np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5 * scale)
+
+
+def test_halo_mg_tiled_onepass_lowers():
+    """The MG-fused TILED halo one-pass (ops/rowwise_mg_local_tiled.py)
+    through Mosaic on silicon: a 1-device mesh with a partitioned x axis
+    gives a non-tileable halo-extended extent, forced onto the tiled route
+    by shrinking the untiled kernel's VMEM limit -- runtime-gathered
+    per-tile prolongation sub-matrices (virtual coarse axis), edge-padded
+    extent, head residents and dwraps outputs, all with interpret=False.
+    Must reproduce the replicated XLA evaluation at f32/MXU tolerances."""
+    from odil_tpu import parallel
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.ops import rowwise_mg
+
+    problem0, state0, _ = vt.build(
+        nt=16, nx=64, ny=16, kernel="xla", multigrid=True, dtype=np.float32
+    )
+    l0, t0, g0 = _eval(problem0, state0)
+
+    old = rowwise_mg.MG_VMEM_LIMIT
+    rowwise_mg.MG_VMEM_LIMIT = 1
+    try:
+        mesh = parallel.mesh_from_spec("x:1")
+        problem1, state1, _ = vt.build(
+            nt=16, nx=64, ny=16, kernel="pallas_mg", multigrid=True,
+            dtype=np.float32, mesh=mesh, partition={"x": "x"},
+        )
+        fn = problem1.make_loss_grad_fn(state1, halo=True)
+        assert fn is not None, "tiled MG halo one-pass builder declined"
+        arrays1 = problem1.domain.arrays_from_state(state1)
+        (loss, (terms, norms)), grads = jax.jit(fn)(arrays1, problem1.tracers)
+    finally:
+        rowwise_mg.MG_VMEM_LIMIT = old
+
+    np.testing.assert_allclose(l0, float(np.asarray(loss)), rtol=1e-3)
+    for a, b in zip(g0, grads):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
