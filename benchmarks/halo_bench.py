@@ -39,8 +39,8 @@ def build(kernel, nt, nx, mesh=None, partition=None):
     )
 
 
-def grad_fn_of(problem, state, halo):
-    fn = problem.make_loss_grad_fn(state, halo=halo)
+def grad_fn_of(problem, state, halo, fuse=None):
+    fn = problem.make_loss_grad_fn(state, halo=halo, halo_fuse=fuse)
     if fn is None:
         from odil_tpu.halo import make_halo_loss_fn
         import jax
@@ -51,14 +51,15 @@ def grad_fn_of(problem, state, halo):
             loss_fn, _ = problem.make_loss_fn(state)
         fn = jax.value_and_grad(loss_fn, has_aux=True)
         return fn, "value_and_grad"
-    return fn, "one-pass"
+    route = getattr(fn, "route", None)
+    return fn, f"one-pass:{route}" if route else "one-pass"
 
 
-def measure(name, problem, state, halo, length, reps):
+def measure(name, problem, state, halo, length, reps, fuse=None):
     import jax
     import jax.numpy as jnp
 
-    fn, kind = grad_fn_of(problem, state, halo)
+    fn, kind = grad_fn_of(problem, state, halo, fuse=fuse)
     arrays = problem.domain.arrays_from_state(state)
     x0 = [jnp.asarray(a) for a in arrays]
 
@@ -81,9 +82,13 @@ def main():
     parser.add_argument("--nx", type=int, default=256)
     parser.add_argument("--length", type=int, default=200)
     parser.add_argument("--reps", type=int, default=3)
-    parser.add_argument("--part", default="t", choices=["t", "x"],
-                        help="which grid dim the 1-device mesh partitions")
+    parser.add_argument("--part", default="t", choices=["t", "x", "y"],
+                        help="which grid dim the 1-device mesh partitions "
+                             "(y = the lane axis: kernel operators decline, "
+                             "so this prices the --kernel xla halo path)")
     parser.add_argument("--kernels", nargs="+", default=["pallas_mg", "pallas"])
+    parser.add_argument("--halo_fuse", default=None, choices=["generic", "mg"],
+                        help="force the halo one-pass route (default: routing default)")
     args = parser.parse_args()
 
     mesh = parallel.mesh_from_spec(f"{args.part}:1")
@@ -97,7 +102,7 @@ def main():
                       args.length, args.reps)
         problem1, state1, _ = build(kernel, args.nt, args.nx, mesh, partition)
         dt1 = measure(f"{kernel} halo ({args.part}:1)", problem1, state1, True,
-                      args.length, args.reps)
+                      args.length, args.reps, fuse=args.halo_fuse)
         print(f"  halo overhead: {(dt1 / dt0 - 1) * 100:+.1f}%")
 
 

@@ -50,13 +50,14 @@ Restrictions (validated at build/trace time, clear errors):
   Restrictions there: the last (lane) plane axis must stay unpartitioned
   and partitioned plane axes must be cell-located.  ONE-PASS loss+grad
   (the training-step kernels) also composes, through
-  ``make_halo_loss_grad_fn``: operators exposing a ``kernel_decl``
-  declaration get the MG-fused per-shard kernel (fine multigrid rows
+  ``make_halo_loss_grad_fn``: ANY ``ctx.rowwise_terms`` operator gets the
+  GENERIC one-pass (deferred-kernel replay inside one per-shard
+  ``jax.vjp``; the default -- measured fastest at halo geometries), and
+  operators exposing a ``kernel_decl`` declaration may opt into the
+  MG-fused per-shard kernel via ``fuse="mg"`` (fine multigrid rows
   reconstructed in VMEM from the sharded level-0 term plus a time-window
   of the replicated level-1 partial, loss sums and cotangents emitted
-  together), and ANY other ``ctx.rowwise_terms`` operator gets the
-  GENERIC one-pass (deferred-kernel replay inside one per-shard
-  ``jax.vjp``); each route's docstring lists its envelope, outside which
+  together); each route's docstring lists its envelope, outside which
   the builder returns None and training falls back to value_and_grad of
   the halo loss;
 - ``extra`` arrays whose shape matches trailing grid axes are sharded and
@@ -71,6 +72,8 @@ interp matrices -- zero ladder communication, versus the GSPMD-partitioned
 prologue of ``mg_ladder='global'`` whose per-axis interp matmuls contract
 over partitioned dimensions.
 """
+
+import os
 
 import jax
 import jax.numpy as jnp
@@ -1162,28 +1165,51 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
     return loss_fn, arrays0
 
 
-def make_halo_loss_grad_fn(problem, state, extra_partition=None, interpret=None):
+def make_halo_loss_grad_fn(
+    problem, state, extra_partition=None, interpret=None, fuse=None
+):
     """One-pass fused loss+gradients INSIDE shard_map: the ``--halo`` form
     of ``Problem.make_loss_grad_fn`` (same contract: a pure
     ``fn(arrays, tracers) -> ((loss, (terms, norms)), grads)``).
 
-    Routes, most-fused first, mirroring ``Problem.make_loss_grad_fn``:
-    (1) the MG-fused per-shard kernel (``_make_halo_mg_loss_grad_fn``:
-    multigrid reconstruction inside the kernel, for operators exposing a
-    ``kernel_decl``); (2) the GENERIC one-pass for any operator whose
-    kernels run through ``ctx.rowwise_terms``
-    (``_make_halo_onepass_loss_grad_fn``: deferred-call replay inside one
-    ``jax.vjp`` per shard, the backward kernel emitting loss sums and
-    cotangents together).  Returns None when neither applies; callers fall
-    back to ``jax.value_and_grad(make_halo_loss_fn(...))``."""
-    fn = _make_halo_mg_loss_grad_fn(
-        problem, state, extra_partition=extra_partition, interpret=interpret
-    )
-    if fn is not None:
-        return fn
-    return _make_halo_onepass_loss_grad_fn(
-        problem, state, extra_partition=extra_partition, interpret=interpret
-    )
+    Two routes: the GENERIC one-pass for any operator whose kernels run
+    through ``ctx.rowwise_terms`` (``_make_halo_onepass_loss_grad_fn``:
+    deferred-call replay inside one ``jax.vjp`` per shard, the backward
+    kernel emitting loss sums and cotangents together, the multigrid
+    ladder in the fast local per-field matmul form), and the MG-fused
+    per-shard kernel (``_make_halo_mg_loss_grad_fn``: multigrid
+    reconstruction inside the kernel, for operators exposing a
+    ``kernel_decl``).
+
+    ``fuse`` picks the route tried first: ``"generic"`` (the default; env
+    ``ODIL_HALO_FUSE`` overrides) or ``"mg"``.  Unlike the single-device
+    routing (MG-fused first -- it wins there), halo mode defaults to the
+    generic route because it MEASURES faster at halo geometries on one
+    v5e: 0.651 vs 0.735 ms/iter at (64,256,256) and 4.58 vs 5.02 at
+    (64,512,512) tiled -- in-kernel reconstruction pays runtime window
+    gathers per shard that the local XLA ladder avoids (BENCH_NOTES.md
+    round 3).  Whichever is tried first, the other is the fallback, so
+    capability is unaffected.  The returned function carries the chosen
+    route name as ``fn.route``.  Returns None when neither applies;
+    callers fall back to ``jax.value_and_grad(make_halo_loss_fn(...))``."""
+    if fuse is None:
+        fuse = os.environ.get("ODIL_HALO_FUSE", "generic")
+    if fuse not in ("generic", "mg"):
+        raise ValueError(f"halo fuse must be 'generic' or 'mg', got {fuse!r}")
+    builders = [
+        ("generic", _make_halo_onepass_loss_grad_fn),
+        ("mg", _make_halo_mg_loss_grad_fn),
+    ]
+    if fuse == "mg":
+        builders.reverse()
+    for name, builder in builders:
+        fn = builder(
+            problem, state, extra_partition=extra_partition, interpret=interpret
+        )
+        if fn is not None:
+            fn.route = name
+            return fn
+    return None
 
 
 def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=None):

@@ -232,7 +232,10 @@ class Problem:
             loss_fn = jax.checkpoint(loss_fn)
         return loss_fn, arrays0
 
-    def make_loss_grad_fn(self, state, halo=False, interpret=None, extra_partition=None):
+    def make_loss_grad_fn(
+        self, state, halo=False, interpret=None, extra_partition=None,
+        halo_fuse=None,
+    ):
         """Optimizer-path product: a pure function
         ``fn(arrays, tracers) -> ((loss, (terms, norms)), grads)`` -- the
         exact signature of ``jax.value_and_grad(loss_fn, has_aux=True)``.
@@ -250,9 +253,10 @@ class Problem:
 
         halo=True builds the shard_map form instead (one per-shard kernel
         on halo-extended local blocks, halo.make_halo_loss_grad_fn): the
-        MG-fused route for operators exposing a ``kernel_decl``
-        declaration, else the generic one-pass for any operator whose
-        kernels run through ``ctx.rowwise_terms``.
+        generic one-pass for any operator whose kernels run through
+        ``ctx.rowwise_terms``, with the MG-fused per-shard kernel as the
+        ``halo_fuse="mg"`` alternative (measured slower at halo
+        geometries; see make_halo_loss_grad_fn).
 
         Routes, most-fused first: (1) the multigrid-partial fused pass
         (operator.loss_and_grads, also fusing the finest Horner step);
@@ -264,7 +268,8 @@ class Problem:
             from .halo import make_halo_loss_grad_fn
 
             return make_halo_loss_grad_fn(
-                self, state, extra_partition=extra_partition, interpret=interpret
+                self, state, extra_partition=extra_partition,
+                interpret=interpret, fuse=halo_fuse,
             )
         fn = self._make_mg_loss_grad_fn(state)
         if fn is not None:

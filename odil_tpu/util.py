@@ -157,6 +157,7 @@ def add_arguments(parser):
     add("--max_chunk", type=int, default=512, help="Max epochs per on-device scan chunk")
     add("--mesh", type=str, default=None, help="Device mesh spec, e.g. 'x:2,y:4' (dim:size pairs)")
     add("--halo", type=int, default=0, help="Evaluate the loss inside shard_map with explicit ppermute halo exchange (requires --mesh)")
+    add("--halo_fuse", type=str, default=None, choices=["generic", "mg"], help="Per-shard one-pass route under --halo: generic (default; deferred-kernel replay, measured faster) or mg (reconstruction inside the kernel)")
     add("--profile_dir", type=str, default=None, help="Capture a jax.profiler trace into this dir")
     # Reference flags kept for CLI compatibility (consumed by examples).
     add("--jac_nsmp0", type=int, default=50, help=argparse.SUPPRESS)
@@ -256,7 +257,8 @@ def optimize_grad(args, optname, problem, state, callback=None, **kwargs):
     # per device shard (halo.make_halo_loss_grad_fn; None falls back to
     # value_and_grad of the halo loss_fn).
     loss_grad_fn = problem.make_loss_grad_fn(
-        state, halo=bool(getattr(args, "halo", 0))
+        state, halo=bool(getattr(args, "halo", 0)),
+        halo_fuse=getattr(args, "halo_fuse", None),
     )
     opt.bind(
         loss_fn,

@@ -350,10 +350,14 @@ def test_halo_trains_with_scanned_adam():
     assert loss_end < 0.5 * loss_start, (loss_start, loss_end)
 
 
-def _run_halo_onepass(problem, state):
-    """((loss, terms, norms), grads) through the halo one-pass builder."""
-    lg = problem.make_loss_grad_fn(state, halo=True)
+def _run_halo_onepass(problem, state, fuse=None):
+    """((loss, terms, norms), grads) through the halo one-pass builder.
+    ``fuse`` forces a route and asserts it was actually taken (so a
+    builder silently declining cannot hollow out the test)."""
+    lg = problem.make_loss_grad_fn(state, halo=True, halo_fuse=fuse)
     assert lg is not None
+    if fuse is not None:
+        assert lg.route == fuse, (lg.route, fuse)
     arrays = problem.domain.arrays_from_state(state)
     (loss, (terms, norms)), grads = jax.jit(lg)(arrays, problem.tracers)
     return (
@@ -384,7 +388,7 @@ def test_halo_onepass_mg_matches_gspmd(spec, part):
         nt=16, nx=16, ny=16, kernel="pallas_mg", multigrid=True,
         dtype=np.float64, mesh=mesh, partition=part,
     )
-    loss1, terms1, norms1, grads1 = _run_halo_onepass(problem, state)
+    loss1, terms1, norms1, grads1 = _run_halo_onepass(problem, state, fuse="mg")
 
     loss_fn0, arrays0 = problem.make_loss_fn(state)
     (loss0, (terms0, _)), grads0 = jax.jit(
@@ -412,7 +416,7 @@ def test_halo_onepass_mg_regularized_terms():
         dtype=np.float64, mesh=mesh, partition={"t": "t", "x": "x"},
         kxreg=0.01, ktreg=0.01,
     )
-    loss1, terms1, norms1, grads1 = _run_halo_onepass(problem, state)
+    loss1, terms1, norms1, grads1 = _run_halo_onepass(problem, state, fuse="mg")
     loss_fn0, arrays0 = problem.make_loss_fn(state)
     (loss0, (terms0, _)), grads0 = jax.jit(
         jax.value_and_grad(loss_fn0, has_aux=True)
@@ -423,6 +427,40 @@ def test_halo_onepass_mg_regularized_terms():
         a = np.asarray(a)
         np.testing.assert_allclose(
             a, b, rtol=1e-12, atol=1e-13 * max(1.0, np.max(np.abs(a)))
+        )
+
+
+def test_halo_default_route_is_generic():
+    """Production default routing under --halo: a kernel_decl operator
+    (flagship pallas_mg, multigrid on) routes to the GENERIC one-pass
+    (fn.route == "generic") -- the measured-faster route at halo
+    geometries (BENCH_NOTES round 3) -- and matches the replicated GSPMD
+    evaluation to roundoff.  ``halo_fuse="mg"`` flips to the MG-fused
+    per-shard kernel (covered by the tests above)."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("t:2,x:2")
+    problem, state, extra = vt.build(
+        nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition={"t": "t", "x": "x"},
+    )
+    # interpret=True: off-TPU the generic builder otherwise declines (the
+    # XLA fallback beats the Pallas interpreter); on device no flag needed.
+    lg = problem.make_loss_grad_fn(state, halo=True, interpret=True)
+    assert lg is not None and lg.route == "generic"
+    arrays = problem.domain.arrays_from_state(state)
+    (loss1, (terms1, _)), grads1 = jax.jit(lg)(arrays, problem.tracers)
+
+    loss_fn0, arrays0 = problem.make_loss_fn(state)
+    (loss0, (terms0, _)), grads0 = jax.jit(
+        jax.value_and_grad(loss_fn0, has_aux=True)
+    )(arrays0, problem.tracers)
+    np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss0), rtol=1e-12)
+    for a, b in zip(grads0, grads1):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=1e-12,
+            atol=1e-13 * max(1.0, np.max(np.abs(a))),
         )
 
 
@@ -765,7 +803,7 @@ def test_halo_onepass_mg_tiled_matches_gspmd(spec, part, monkeypatch):
         nt=16, nx=64, ny=16, kernel="pallas_mg", multigrid=True,
         dtype=np.float64, mesh=mesh, partition=part,
     )
-    loss1, terms1, norms1, grads1 = _run_halo_onepass(problem, state)
+    loss1, terms1, norms1, grads1 = _run_halo_onepass(problem, state, fuse="mg")
 
     loss_fn0, arrays0 = problem.make_loss_fn(state)
     (loss0, (terms0, _)), grads0 = jax.jit(
@@ -798,8 +836,8 @@ def test_halo_onepass_mg_tiled_scanned_adam_trajectory(monkeypatch):
 
         if halo:
             loss_fn, arrays = make_halo_loss_fn(problem, state)
-            lg = problem.make_loss_grad_fn(state, halo=True)
-            assert lg is not None
+            lg = problem.make_loss_grad_fn(state, halo=True, halo_fuse="mg")
+            assert lg is not None and lg.route == "mg"
         else:
             loss_fn, arrays = problem.make_loss_fn(state)
             lg = None

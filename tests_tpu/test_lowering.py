@@ -164,8 +164,8 @@ def test_halo_onepass_kernel_lowers():
         nt=16, nx=16, ny=16, kernel="pallas_mg", multigrid=True,
         dtype=np.float32, mesh=mesh, partition={"t": "t"},
     )
-    fn = problem1.make_loss_grad_fn(state1, halo=True)
-    assert fn is not None
+    fn = problem1.make_loss_grad_fn(state1, halo=True, halo_fuse="mg")
+    assert fn is not None and fn.route == "mg"
     arrays1 = problem1.domain.arrays_from_state(state1)
     (loss, (terms, norms)), grads = jax.jit(fn)(arrays1, problem1.tracers)
 
@@ -196,7 +196,7 @@ def test_halo_generic_onepass_kernel_lowers():
         dtype=np.float32, mesh=mesh, partition={"x": "x"},
     )
     fn = problem1.make_loss_grad_fn(state1, halo=True)
-    assert fn is not None
+    assert fn is not None and fn.route == "generic"
     arrays1 = problem1.domain.arrays_from_state(state1)
     (loss, (terms, norms)), grads = jax.jit(fn)(arrays1, problem1.tracers)
 
@@ -275,8 +275,10 @@ def test_halo_mg_tiled_onepass_lowers():
             nt=16, nx=64, ny=16, kernel="pallas_mg", multigrid=True,
             dtype=np.float32, mesh=mesh, partition={"x": "x"},
         )
-        fn = problem1.make_loss_grad_fn(state1, halo=True)
-        assert fn is not None, "tiled MG halo one-pass builder declined"
+        fn = problem1.make_loss_grad_fn(state1, halo=True, halo_fuse="mg")
+        assert fn is not None and fn.route == "mg", (
+            "tiled MG halo one-pass builder declined"
+        )
         arrays1 = problem1.domain.arrays_from_state(state1)
         (loss, (terms, norms)), grads = jax.jit(fn)(arrays1, problem1.tracers)
     finally:
