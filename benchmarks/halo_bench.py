@@ -84,8 +84,9 @@ def main():
     parser.add_argument("--reps", type=int, default=3)
     parser.add_argument("--part", default="t", choices=["t", "x", "y"],
                         help="which grid dim the 1-device mesh partitions "
-                             "(y = the lane axis: kernel operators decline, "
-                             "so this prices the --kernel xla halo path)")
+                             "(y = the lane axis: the kernel runs on "
+                             "lane-extended blocks whose extent is not a "
+                             "multiple of 128, pricing Mosaic's lane pad)")
     parser.add_argument("--kernels", nargs="+", default=["pallas_mg", "pallas"])
     parser.add_argument("--halo_fuse", default=None, choices=["generic", "mg"],
                         help="force the halo one-pass route (default: routing default)")

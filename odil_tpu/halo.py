@@ -47,8 +47,11 @@ Restrictions (validated at build/trace time, clear errors):
   (``_HaloContext.rowwise_terms``).  Per-row ``data`` arrays are localized
   and halo-extended like the fields (global-shaped dims sliced to the local
   block, local-shaped dims passed through, size-1 plane dims broadcast).
-  Restrictions there: the last (lane) plane axis must stay unpartitioned
-  and partitioned plane axes must be cell-located.  ONE-PASS loss+grad
+  Restrictions there: partitioned plane axes must be cell-located.  The
+  last (lane) plane axis partitions too -- the extended lane extent
+  ``Ny/k + 2*halox`` is no longer a multiple of 128, so Mosaic pads the
+  lane dimension (a bandwidth cost priced in docs/SCALING.md; prefer
+  leading-axis partitions when the mesh allows).  ONE-PASS loss+grad
   (the training-step kernels) also composes, through
   ``make_halo_loss_grad_fn``: ANY ``ctx.rowwise_terms`` operator gets the
   GENERIC one-pass (deferred-kernel replay inside one per-shard
@@ -480,12 +483,6 @@ class _HaloPlan:
                     if d == 0:
                         widths[key][0][0] = max(widths[key][0][0], call["hist"])
                         continue
-                    if d == domain.ndim - 1:
-                        raise ValueError(
-                            "halo mode: kernel operators (ctx.rowwise_terms) "
-                            "cannot partition the last (lane) plane axis; "
-                            "partition the leading axes instead"
-                        )
                     if floc[d] != "c":
                         raise ValueError(
                             "halo mode: kernel operators require cell-located "
@@ -1267,6 +1264,10 @@ def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=N
         return None
     plan = _HaloPlan(problem, state, extra_partition=extra_partition)
     if plan.param_keys or len(plan.rowwise_calls) != 1:
+        return None
+    if plan.dim_axis.get(2) is not None:
+        # Lane-axis (y) partitions take the generic route: the MG-fused
+        # local kernels' reconstruction windows assume a whole lane plane.
         return None
     call = plan.rowwise_calls[0]
     keys = tuple(call["keys"])

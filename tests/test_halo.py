@@ -301,19 +301,54 @@ def test_halo_rejects_handmade_raw_terms():
         make_halo_loss_fn(problem, state)
 
 
-def test_halo_fused_kernel_rejects_lane_axis_partition():
-    """Kernel operators cannot partition the last (lane) plane axis."""
+@pytest.mark.parametrize("spec,part", [
+    ("y:2", {"y": "y"}),
+    ("x:2,y:2", {"x": "x", "y": "y"}),
+    ("t:2,y:2", {"t": "t", "y": "y"}),
+])
+@pytest.mark.parametrize("multigrid", [False, True])
+def test_halo_fused_kernel_lane_axis_partition(spec, part, multigrid):
+    """Kernel operators partition the last (lane) plane axis too: the
+    kernel runs on lane-extended local blocks (Ny/k + 2*halox columns)
+    with the halo columns masked out of every sum, and the lane-axis
+    ppermute exchange transposes exactly."""
     from odil_tpu.models import veltracer as vt
 
-    mesh = parallel.mesh_from_spec("y:2")
+    mesh = parallel.mesh_from_spec(spec)
     problem, state, extra = vt.build(
-        nt=8, nx=16, ny=16, kernel="pallas", multigrid=False,
-        dtype=np.float64, mesh=mesh, partition={"y": "y"},
+        nt=8, nx=16, ny=16, kernel="pallas", multigrid=multigrid,
+        dtype=np.float64, mesh=mesh, partition=part,
+    )
+    _compare_loss_and_grads(problem, state)
+
+
+def test_halo_lane_axis_trains_with_scanned_adam():
+    """Scanned-Adam trajectory under a 2-D space mesh (x:2,y:2) through the
+    sharded-kernel halo loss matches the single-device trajectory."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("x:2,y:2")
+    problem, state, extra = vt.build(
+        nt=8, nx=16, ny=16, kernel="pallas", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition={"x": "x", "y": "y"},
     )
     from odil_tpu.halo import make_halo_loss_fn
+    from odil_tpu.optim import make_optimizer
 
-    with pytest.raises(ValueError, match="lane"):
-        make_halo_loss_fn(problem, state)
+    loss_fn, arrays = make_halo_loss_fn(problem, state)
+    opt = make_optimizer("adamn", dtype=problem.domain.dtype, mod=problem.domain.mod)
+    opt.bind(loss_fn, tracers=problem.tracers, task_epochs=[0, 20], names=None)
+    arrays, optinfo = opt.run(arrays, epochs=20, lr=0.02)
+
+    problem0, state0, _ = vt.build(nt=8, nx=16, ny=16, kernel="pallas", multigrid=True,
+                                   dtype=np.float64)
+    loss_fn0, arrays0 = problem0.make_loss_fn(state0)
+    opt0 = make_optimizer("adamn", dtype=problem0.domain.dtype, mod=problem0.domain.mod)
+    opt0.bind(loss_fn0, tracers=problem0.tracers, task_epochs=[0, 20], names=None)
+    arrays0, _ = opt0.run(arrays0, epochs=20, lr=0.02)
+    for a, b in zip(arrays0, arrays):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-10, atol=1e-12 * max(1.0, np.max(np.abs(a))))
 
 
 def test_halo_rejects_loc_conversion_on_partitioned_axis():
@@ -464,6 +499,35 @@ def test_halo_default_route_is_generic():
         )
 
 
+def test_halo_mg_fuse_declines_lane_partition_to_generic():
+    """``halo_fuse='mg'`` under a lane-axis (y) partition falls back to the
+    generic one-pass (the MG-fused local kernels' reconstruction windows
+    assume a whole lane plane) and still matches GSPMD to roundoff."""
+    from odil_tpu.models import veltracer as vt
+
+    mesh = parallel.mesh_from_spec("x:2,y:2")
+    problem, state, extra = vt.build(
+        nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True,
+        dtype=np.float64, mesh=mesh, partition={"x": "x", "y": "y"},
+    )
+    lg = problem.make_loss_grad_fn(state, halo=True, interpret=True, halo_fuse="mg")
+    assert lg is not None and lg.route == "generic"
+    arrays = problem.domain.arrays_from_state(state)
+    (loss1, _), grads1 = jax.jit(lg)(arrays, problem.tracers)
+
+    loss_fn0, arrays0 = problem.make_loss_fn(state)
+    (loss0, _), grads0 = jax.jit(
+        jax.value_and_grad(loss_fn0, has_aux=True)
+    )(arrays0, problem.tracers)
+    np.testing.assert_allclose(np.asarray(loss1), np.asarray(loss0), rtol=1e-12)
+    for a, b in zip(grads0, grads1):
+        a = np.asarray(a)
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=1e-12,
+            atol=1e-13 * max(1.0, np.max(np.abs(a))),
+        )
+
+
 def test_halo_onepass_gates():
     """The one-pass builder declines (returns None) outside its envelope:
     multigrid off, plain-kernel operators without a declaration."""
@@ -563,6 +627,7 @@ def _compare_generic_onepass(problem, state, nterms=None):
 @pytest.mark.parametrize("spec,part", [
     ("x:4", {"x": "x"}),
     ("t:4,x:2", {"t": "t", "x": "x"}),
+    ("x:2,y:2", {"x": "x", "y": "y"}),
 ])
 @pytest.mark.parametrize("multigrid", [False, True])
 def test_halo_generic_onepass_veltracer(spec, part, multigrid):

@@ -288,3 +288,42 @@ def test_halo_mg_tiled_onepass_lowers():
     for a, b in zip(g0, grads):
         scale = max(1.0, float(np.max(np.abs(a))))
         np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+
+
+def test_halo_lane_partition_kernel_lowers():
+    """A lane-axis (y) partition through Mosaic on silicon: the per-shard
+    kernel runs on lane-extended local blocks (Ny + 2*halox columns, not a
+    multiple of 128, so Mosaic pads the lane dimension) with the halo
+    columns masked out of every sum.  A 1-device mesh partitioning y runs
+    both the halo loss path and the generic one-pass with interpret=False
+    and must reproduce the replicated XLA evaluation at f32/MXU
+    tolerances."""
+    from odil_tpu import parallel
+    from odil_tpu.halo import make_halo_loss_fn
+    from odil_tpu.models import veltracer as vt
+
+    problem0, state0, _ = vt.build(
+        nt=16, nx=16, ny=16, kernel="xla", multigrid=True, dtype=np.float32
+    )
+    l0, t0, g0 = _eval(problem0, state0)
+
+    mesh = parallel.mesh_from_spec("y:1")
+    problem1, state1, _ = vt.build(
+        nt=16, nx=16, ny=16, kernel="pallas", multigrid=True,
+        dtype=np.float32, mesh=mesh, partition={"y": "y"},
+    )
+    loss_fn1, arrays1 = make_halo_loss_fn(problem1, state1)
+    f1 = jax.jit(jax.value_and_grad(lambda a: loss_fn1(a, problem1.tracers)[0]))
+    v1, g1 = f1(arrays1)
+    np.testing.assert_allclose(l0, float(np.asarray(v1)), rtol=1e-3)
+    for a, b in zip(g0, g1):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+
+    fn = problem1.make_loss_grad_fn(state1, halo=True)
+    assert fn is not None and fn.route == "generic"
+    (loss, (terms, norms)), grads = jax.jit(fn)(arrays1, problem1.tracers)
+    np.testing.assert_allclose(l0, float(np.asarray(loss)), rtol=1e-3)
+    for a, b in zip(g0, grads):
+        scale = max(1.0, float(np.max(np.abs(a))))
+        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
