@@ -19,6 +19,7 @@ single ``lax.scan`` on device.
 """
 
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,17 @@ from .context import Context
 from .fields import Field, MultigridField, field_arrays
 
 __all__ = ["Problem"]
+
+# Multigrid flatten ladder form: "batched" stacks the coarse levels (>= 1)
+# across same-shaped fields into one ladder; "perfield" runs each field's
+# ladder separately in the dense-matmul form (the form the halo route uses
+# locally).  "auto" (default) picks per consumer from the measured
+# comparison in BENCH_NOTES.md: FULL flattens (the generic one-pass /
+# value_and_grad paths) run per-field -- the stack's slice/concat vjp
+# transposes cost more than the batching saves -- while the mg-partial
+# path (the MG-fused kernel prologue, which stops at level 1) keeps the
+# batched ladder.  Both forms are bitwise-identical in value.
+_MG_LADDER = os.environ.get("ODIL_MG_LADDER", "auto")
 
 
 class Problem:
@@ -102,9 +114,14 @@ class Problem:
         The reference flattens each field separately inside ``ctx.field``
         (``src/odil/core.py:948``); batching the ladders across fields (e.g.
         u, vx, vy in velocity_from_tracer) turns many small transfer ops on
-        coarse levels into few larger ones -- significant on TPU where the
-        coarse-level arrays are far below the tile size.  Differentiable;
-        semantics identical.
+        coarse levels into few larger ones.  Differentiable; semantics
+        identical.  Ladder FORM is routed by ``_MG_LADDER`` ("auto"
+        default): full flattens run per field in the dense-matmul form (the
+        stack's slice/concat vjp transposes were measured to cost more than
+        the batching saves on the generic one-pass training path), while
+        partial flattens (``partial_out`` given, the MG-fused kernel
+        prologue) keep the batched coarse ladder, which measured faster
+        there; both forms are bitwise-identical in value (BENCH_NOTES.md).
 
         partial_out: optional dict; when given (and the group is at least
         two levels deep) the Horner ladder STOPS one step early and
@@ -150,6 +167,39 @@ class Problem:
             # HBM sweeps per training step (measured ~2 ms/iter at 512^2,
             # BENCH_NOTES round 3).  The finest Horner step runs per field
             # instead, fusing into one multiply-add per field.
+            perfield = _MG_LADDER == "perfield" or (
+                _MG_LADDER == "auto" and partial_out is None
+            )
+            if perfield:
+                stop = 2 if (partial_depth >= 2 and nlvl >= 3) else 1
+                for i, k in enumerate(keys):
+                    terms = [t.array for t in fs[i].terms]
+                    if partial_out is not None and nlvl >= 2:
+                        acc = terms[-1] * factors[-1]
+                        for lvl in range(nlvl - 2, stop - 1, -1):
+                            acc = terms[lvl] * factors[lvl] + interp_to_finer(
+                                acc, loc_field, method, mod
+                            )
+                        if stop == 2:
+                            partial_out[k] = (
+                                terms[0], factors[0], terms[1], factors[1], acc,
+                            )
+                        else:
+                            partial_out[k] = (terms[0], factors[0], acc)
+                        continue
+                    if nlvl >= 2:
+                        acc = terms[-1] * factors[-1]
+                        for lvl in range(nlvl - 2, 0, -1):
+                            acc = terms[lvl] * factors[lvl] + interp_to_finer(
+                                acc, loc_field, method, mod
+                            )
+                        fine = terms[0] * factors[0] + interp_to_finer(
+                            acc, loc_field, method, mod
+                        )
+                    else:
+                        fine = terms[0] * factors[0]
+                    new_fields[k] = Field(fine, loc=f0.loc)
+                continue
             stacked = [mod.stack([f.terms[lvl].array for f in fs]) for lvl in range(1, nlvl)]
             if partial_out is not None and nlvl >= 2:
                 # Stop the Horner ladder early; the fused kernel does the
