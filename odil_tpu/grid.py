@@ -231,14 +231,19 @@ class Domain:
 
     # -- Sharding ----------------------------------------------------------
 
-    def field_sharding(self, loc=None, shape=None):
+    def field_sharding(self, loc=None, shape=None, allow_uneven=False):
         """NamedSharding for a grid field, or None.
 
-        Axes whose size does not divide the mesh axis (staggered +1 nodes,
-        coarse multigrid levels) are replicated instead of sharded.  Dropping
-        a partition at the *finest* grid size usually means a mistyped mesh
-        (the whole axis silently serializes), so that case logs a warning
-        once per (dim, size, mesh axis)."""
+        Axes whose size does not divide the mesh axis are replicated in the
+        STORAGE layout (``jax.device_put`` requires divisibility).  With
+        ``allow_uneven=True`` -- legal only inside jit, where
+        ``with_sharding_constraint`` accepts uneven tiling (XLA pads the
+        last shard internally) -- the partition is kept, which is how
+        node-located axes of N+1 entries genuinely shard under GSPMD
+        (``Problem._constrain_fields``).  A non-divisible axis at the
+        *finest* grid size that uneven tiling will NOT pick up (cell count
+        itself not divisible, i.e. a mistyped mesh: the whole axis silently
+        serializes) logs a warning once per (dim, size, mesh axis)."""
         if self.mesh is None or self.partition is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec
@@ -248,7 +253,16 @@ class Domain:
         for d, name in enumerate(self.dimnames):
             axis = self.partition.get(name)
             if axis is not None and shape is not None and shape[d] % axis_sizes[axis] != 0:
-                if shape[d] >= self.cshape[d]:
+                if allow_uneven:
+                    entries.append(axis)
+                    continue
+                # The ghost-node case -- N cells divide, the N+1 node array
+                # does not -- is handled by the uneven in-jit constraint, so
+                # only the genuinely-serialized case warns.
+                if shape[d] >= self.cshape[d] and (
+                    shape[d] != self.cshape[d] + 1
+                    or self.cshape[d] % axis_sizes[axis] != 0
+                ):
                     key = (name, shape[d], axis)
                     if key not in self._sharding_warned:
                         self._sharding_warned.add(key)
@@ -273,12 +287,18 @@ class Domain:
         return array
 
     def constrain(self, array):
-        """Applies the domain sharding constraint inside a jitted function."""
+        """Applies the domain sharding constraint inside a jitted function.
+        Uneven tiling is allowed here (in-jit constraints may pad the last
+        shard), so node-located axes shard even though their storage layout
+        replicates them."""
         if self.mesh is None or self.partition is None:
             return array
         from jax.lax import with_sharding_constraint
 
-        return with_sharding_constraint(array, self.field_sharding())
+        return with_sharding_constraint(
+            array,
+            self.field_sharding(shape=tuple(array.shape), allow_uneven=True),
+        )
 
     # -- Multigrid decomposition -------------------------------------------
 

@@ -87,7 +87,11 @@ from .context import Context
 from .fields import Array, Field, MultigridField, NeuralNet, State, field_arrays
 from .nn import eval_neural_net
 
-__all__ = ["make_halo_loss_fn", "make_halo_loss_grad_fn"]
+__all__ = [
+    "make_halo_loss_fn",
+    "make_halo_loss_grad_fn",
+    "make_halo_residual_fn",
+]
 
 
 def _shard_map(fun, mesh, in_specs, out_specs):
@@ -1162,6 +1166,131 @@ def make_halo_loss_fn(problem, state, extra_partition=None, mg_ladder="local"):
     return loss_fn, arrays0
 
 
+def make_halo_residual_fn(problem, state, extra_partition=None):
+    """Returns ``(f, x0)`` with the ``Problem.residual_fn`` contract
+    (f(packed) -> concatenated residual vector, term_names/term_sizes
+    attached), the evaluation running inside ``shard_map`` with explicit
+    ppermute halo exchange over the domain mesh.
+
+    Each grid-rank term comes back as the stitched ghost-noded global array
+    with duplicated shared-node rows masked to zero: up to a fixed
+    permutation plus structurally-zero rows (whose Jacobian rows are zero),
+    f is the same residual map as ``Problem.residual_fn`` -- the
+    Gauss-Newton normal equations J^T J v and J^T r are identical -- so
+    ``newton.optimize_gauss_newton`` consumes it unchanged.  Kernel
+    (``ctx.rowwise_terms``) operators are not supported on this route
+    (their halo form reduces straight to masked sums); use the plain
+    operator (kernel='xla')."""
+    import math
+
+    plan = _HaloPlan(problem, state, extra_partition=extra_partition)
+    if plan.rowwise_calls:
+        raise ValueError(
+            "make_halo_residual_fn: kernel operators (ctx.rowwise_terms) "
+            "have no per-row residual form under halo; build the problem "
+            "with the plain operator (kernel='xla')"
+        )
+    domain = problem.domain
+    mesh = plan.mesh
+
+    problem._capture_structure(state)
+    arrays0 = domain.arrays_from_state(state)
+    shapes = [tuple(a.shape) for a in arrays0]
+    sizes = [math.prod(s) for s in shapes]
+    bounds = np.cumsum(sizes)[:-1]
+
+    extra = problem.extra
+    extra_items = {} if extra is None else (
+        vars(extra) if not isinstance(extra, dict) else extra
+    )
+    extra_arrays = {
+        k: _ghost_nodes(jnp.asarray(v), plan, plan.extra_node_dims.get(k, {}))
+        for k, v in extra_items.items()
+        if k in plan.extra_specs
+    }
+    param_meta = {k: state.fields[k] for k in plan.param_keys}
+    mg_keys = [
+        k for k, f in state.fields.items() if isinstance(f, MultigridField)
+    ]
+    mg_meta = {
+        k: _mg_ladder_meta(domain, plan, k, state.fields[k]) for k in mg_keys
+    }
+
+    def local_eval(grid, mg_levels, params_flat, extra_arrs, tracers):
+        grid, params = _local_grid_params(
+            plan, mg_meta, param_meta, grid, mg_levels, params_flat
+        )
+        local_extra = _local_extra_of(extra, extra_arrs)
+        ctx = _HaloContext(plan, grid, params, local_extra, tracers)
+        _, values = problem._run_operator(ctx)
+        out = []
+        for ti, v in enumerate(values):
+            assert not isinstance(v, Context.Raw)  # declined above
+            mask, _count = _plain_term_mask(plan, v, ti)
+            if mask is not None:
+                v = v * mask.astype(v.dtype)
+            out.append(v)
+        return out
+
+    st0 = _flatten_all_multigrid(problem, state)
+    grid_keys = [
+        k for k, f in st0.fields.items() if isinstance(f, Field) and k not in mg_keys
+    ]
+    grid_specs = {k: plan.field_spec(k) for k in grid_keys}
+    mg_specs = {
+        k: [plan.field_spec(k)] + [P()] * (len(mg_meta[k]["shapes"]) - 1)
+        for k in mg_keys
+    }
+    param_count = sum(len(field_arrays(st0.fields[k])) for k in plan.param_keys)
+
+    # Per-term out specs from an abstract probe of the global residual map:
+    # grid-rank terms stitch along the partitioned axes, anything else
+    # (scalar penalties, parameter regularizers) is replicated.
+    def global_terms(arrays):
+        st = problem._flatten_multigrid_batched(problem.state_from_arrays(arrays))
+        ctx = Context(domain, st, extra=problem.extra, tracers=problem.tracers)
+        _, values = problem._run_operator(ctx)
+        return [v.value if isinstance(v, Context.Raw) else v for v in values]
+
+    gshapes = jax.eval_shape(global_terms, arrays0)
+    term_specs = [
+        P(*[plan.dim_axis.get(d) for d in range(domain.ndim)])
+        if len(s.shape) == domain.ndim
+        else P()
+        for s in gshapes
+    ]
+    tracers = problem.tracers
+
+    def f_values(x):
+        parts = jnp.split(x, bounds)
+        arrays = [p.reshape(s) for p, s in zip(parts, shapes)]
+        grid, mg_levels, params_flat = _halo_global_inputs(
+            problem, plan, mg_keys, grid_keys, arrays
+        )
+        sharded = _shard_map(
+            local_eval,
+            mesh,
+            in_specs=(
+                grid_specs,
+                mg_specs,
+                [P()] * param_count,
+                {k: plan.extra_specs[k] for k in extra_arrays},
+                jax.tree_util.tree_map(lambda _: P(), tracers),
+            ),
+            out_specs=term_specs,
+        )
+        return sharded(grid, mg_levels, params_flat, extra_arrays, tracers)
+
+    def f(x):
+        return jnp.concatenate([v.reshape(-1) for v in f_values(x)], axis=0)
+
+    x0 = jnp.concatenate([jnp.asarray(a).reshape(-1) for a in arrays0], axis=0)
+    tshapes = jax.eval_shape(f_values, jax.ShapeDtypeStruct(x0.shape, x0.dtype))
+    f.term_names = list(plan.names)
+    f.term_sizes = [int(math.prod(s.shape)) for s in tshapes]
+    return f, x0
+
+
 def make_halo_loss_grad_fn(
     problem, state, extra_partition=None, interpret=None, fuse=None
 ):
@@ -1265,9 +1394,10 @@ def _make_halo_mg_loss_grad_fn(problem, state, extra_partition=None, interpret=N
     plan = _HaloPlan(problem, state, extra_partition=extra_partition)
     if plan.param_keys or len(plan.rowwise_calls) != 1:
         return None
-    if plan.dim_axis.get(2) is not None:
-        # Lane-axis (y) partitions take the generic route: the MG-fused
-        # local kernels' reconstruction windows assume a whole lane plane.
+    if plan.dim_axis.get(domain.ndim - 1) is not None:
+        # Lane-axis (last-dim) partitions take the generic route: the
+        # MG-fused local kernels' reconstruction windows assume a whole
+        # lane plane.
         return None
     call = plan.rowwise_calls[0]
     keys = tuple(call["keys"])

@@ -516,7 +516,7 @@ def optimize_gauss_newton(args, problem, state, callback=None, **kwargs):
     --linsolver multigrid -> BPX multilevel preconditioning (grid-Field
     states); --linsolver cg (or dampdiag>0) -> Hutchinson-Jacobi."""
     domain = problem.domain
-    f, x = problem.residual_fn(state)
+    f, x = problem.residual_fn(state, halo=bool(getattr(args, "halo", 0)))
     damp = getattr(args, "linsolver_damp", 0.0) or 0.0
     dampdiag = getattr(args, "linsolver_dampdiag", 0.0) or 0.0
     tol = getattr(args, "linsolver_tol", 1e-6)

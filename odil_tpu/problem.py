@@ -40,6 +40,25 @@ __all__ = ["Problem"]
 # path (the MG-fused kernel prologue, which stops at level 1) keeps the
 # batched ladder.  Both forms are bitwise-identical in value.
 _MG_LADDER = os.environ.get("ODIL_MG_LADDER", "auto")
+if _MG_LADDER not in ("auto", "batched", "perfield"):
+    raise ValueError(
+        f"ODIL_MG_LADDER={_MG_LADDER!r}: expected 'auto', 'batched' or 'perfield'"
+    )
+
+
+def _horner_ladder(terms, factors, loc, method, mod, stop=0):
+    """Folds the multigrid Horner ladder from the coarsest level down to
+    level ``stop``: returns ``terms[stop]*factors[stop] + I(terms[stop+1]*
+    factors[stop+1] + I(...))``.  ``stop=0`` is the full flatten (returns
+    the fine array); ``stop>=1`` returns the partial sum the MG-fused
+    kernels consume.  Works on per-field term lists and on stacked
+    (batched) level arrays alike -- the caller picks ``loc`` accordingly."""
+    from .transfer import interp_to_finer
+
+    acc = terms[-1] * factors[-1]
+    for lvl in range(len(terms) - 2, stop - 1, -1):
+        acc = terms[lvl] * factors[lvl] + interp_to_finer(acc, loc, method, mod)
+    return acc
 
 
 class Problem:
@@ -170,36 +189,28 @@ class Problem:
             perfield = _MG_LADDER == "perfield" or (
                 _MG_LADDER == "auto" and partial_out is None
             )
+            stop = 2 if (partial_depth >= 2 and nlvl >= 3) else 1
+
+            def head_terms(f, stop=stop, factors=factors):
+                # The un-folded fine levels handed to the MG-fused kernel:
+                # (term0, factor0[, term1, factor1]) ahead of the partial.
+                out = []
+                for lvl in range(stop):
+                    out += [f.terms[lvl].array, factors[lvl]]
+                return tuple(out)
+
             if perfield:
-                stop = 2 if (partial_depth >= 2 and nlvl >= 3) else 1
                 for i, k in enumerate(keys):
                     terms = [t.array for t in fs[i].terms]
                     if partial_out is not None and nlvl >= 2:
-                        acc = terms[-1] * factors[-1]
-                        for lvl in range(nlvl - 2, stop - 1, -1):
-                            acc = terms[lvl] * factors[lvl] + interp_to_finer(
-                                acc, loc_field, method, mod
-                            )
-                        if stop == 2:
-                            partial_out[k] = (
-                                terms[0], factors[0], terms[1], factors[1], acc,
-                            )
-                        else:
-                            partial_out[k] = (terms[0], factors[0], acc)
-                        continue
-                    if nlvl >= 2:
-                        acc = terms[-1] * factors[-1]
-                        for lvl in range(nlvl - 2, 0, -1):
-                            acc = terms[lvl] * factors[lvl] + interp_to_finer(
-                                acc, loc_field, method, mod
-                            )
-                        fine = terms[0] * factors[0] + interp_to_finer(
-                            acc, loc_field, method, mod
-                        )
+                        acc = _horner_ladder(terms, factors, loc_field, method, mod, stop)
+                        partial_out[k] = head_terms(fs[i]) + (acc,)
                     else:
-                        fine = terms[0] * factors[0]
-                    new_fields[k] = Field(fine, loc=f0.loc)
+                        fine = _horner_ladder(terms, factors, loc_field, method, mod)
+                        new_fields[k] = Field(fine, loc=f0.loc)
                 continue
+            # Batched form: levels >= 1 stacked across the group (index j of
+            # `stacked` is level j+1, paired with factors[j+1] by slicing).
             stacked = [mod.stack([f.terms[lvl].array for f in fs]) for lvl in range(1, nlvl)]
             if partial_out is not None and nlvl >= 2:
                 # Stop the Horner ladder early; the fused kernel does the
@@ -209,23 +220,12 @@ class Problem:
                 # (A level-batched composed-matrix contraction was measured
                 # SLOWER end to end than this stepwise ladder of tiny ops;
                 # see BENCH_NOTES.md.)
-                stop = 2 if (partial_depth >= 2 and nlvl >= 3) else 1
-                acc = stacked[-1] * factors[-1]
-                for arr, fac in zip(reversed(stacked[stop - 1 : -1]), reversed(factors[stop:-1])):
-                    acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
+                acc = _horner_ladder(stacked, factors[1:], loc_active, method, mod, stop - 1)
                 for i, k in enumerate(keys):
-                    if stop == 2:
-                        partial_out[k] = (
-                            fs[i].terms[0].array, factors[0],
-                            fs[i].terms[1].array, factors[1], acc[i],
-                        )
-                    else:
-                        partial_out[k] = (fs[i].terms[0].array, factors[0], acc[i])
+                    partial_out[k] = head_terms(fs[i]) + (acc[i],)
                 continue
             if nlvl >= 2:
-                acc = stacked[-1] * factors[-1]
-                for arr, fac in zip(reversed(stacked[:-1]), reversed(factors[1:-1])):
-                    acc = arr * fac + interp_to_finer(acc, loc_active, method, mod)
+                acc = _horner_ladder(stacked, factors[1:], loc_active, method, mod)
                 for i, k in enumerate(keys):
                     fine = fs[i].terms[0].array * factors[0] + interp_to_finer(
                         acc[i], loc_field, method, mod
@@ -237,6 +237,36 @@ class Problem:
         from .fields import State
 
         return State(fields=new_fields, initialized=True)
+
+    def _constrain_fields(self, state):
+        """Re-asserts the domain sharding on flattened fine-grid fields
+        INSIDE jit.  ``with_sharding_constraint`` accepts uneven tiling
+        (XLA pads the last shard), so node-located axes of N+1 entries --
+        whose storage layout must stay replicated along their mesh axis
+        (``device_put`` requires divisibility) -- genuinely shard here:
+        XLA re-shards by a free local slice on entry, partitions the
+        stencil rolls into collective-permutes, and transposes the entry
+        reshard to an all-gather on the cotangent.  No-op without a mesh."""
+        domain = self.domain
+        if domain.mesh is None or not domain.partition:
+            return state
+        fields = dict(state.fields)
+        changed = False
+        for k, f in fields.items():
+            # Tracers only: eager evaluation (debug mode) rejects uneven
+            # constraints, and sharding propagation only matters under jit.
+            if (
+                isinstance(f, Field)
+                and isinstance(f.array, jax.core.Tracer)
+                and np.ndim(f.array) == domain.ndim
+            ):
+                fields[k] = Field(domain.constrain(f.array), loc=f.loc)
+                changed = True
+        if not changed:
+            return state
+        from .fields import State
+
+        return State(fields=fields, initialized=True)
 
     def loss_terms(self, arrays, tracers):
         """Pure function: (arrays, tracers) -> (loss, terms, norms).
@@ -251,6 +281,7 @@ class Problem:
         mod = self.domain.mod
         partials = {} if self.mg_partial else None
         state = self._flatten_multigrid_batched(self.state_from_arrays(arrays), partial_out=partials)
+        state = self._constrain_fields(state)
         ctx = Context(self.domain, state, extra=self.extra, tracers=tracers)
         ctx.mg_partials = partials or {}
         _, values = self._run_operator(ctx)
@@ -745,11 +776,20 @@ class Problem:
 
     # -- Matrix-free products (Gauss-Newton) --------------------------------
 
-    def residual_fn(self, state):
+    def residual_fn(self, state, halo=False):
         """Returns (f, x0): f(packed) -> concatenated residual vector as a
         pure jittable function of the packed unknown vector; x0 the current
         packed state.  The Jacobian-vector products jvp/vjp of f are the
-        matrix-free substitutes for `linearize` (SURVEY.md §7)."""
+        matrix-free substitutes for `linearize` (SURVEY.md §7).
+
+        halo=True evaluates inside shard_map with explicit ppermute halo
+        exchange (halo.make_halo_residual_fn): the same residual map up to
+        a fixed permutation plus structurally-zero ghost rows, so the
+        Gauss-Newton normal equations are unchanged."""
+        if halo:
+            from .halo import make_halo_residual_fn
+
+            return make_halo_residual_fn(self, state)
         self._capture_structure(state)
         domain = self.domain
         arrays0 = domain.arrays_from_state(state)
@@ -767,6 +807,7 @@ class Problem:
         def f_values(x):
             arrays = unpack(x)
             st = self._flatten_multigrid_batched(self.state_from_arrays(arrays))
+            st = self._constrain_fields(st)
             ctx = Context(domain, st, extra=self.extra, tracers=self.tracers)
             names, values = self._run_operator(ctx)
             meta["names"] = list(names)

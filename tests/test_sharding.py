@@ -284,7 +284,10 @@ def test_gauss_newton_sharded_matches_single_device(linsolver, damp):
     assert not state1.fields["u"].array.sharding.is_fully_replicated
     optimize_gauss_newton(gn_args(linsolver, damp=damp), problem1, state1)
     u1 = np.asarray(problem1.domain.field(state1, "u"))
-    np.testing.assert_allclose(u1, u0, rtol=0, atol=1e-11 * max(1.0, np.abs(u0).max()))
+    # 5e-11: the in-jit sharding constraint (Problem._constrain_fields)
+    # reorders reduction fusions slightly, drifting the CG dot products by
+    # ~1e-11 at these damping levels.
+    np.testing.assert_allclose(u1, u0, rtol=0, atol=5e-11 * max(1.0, np.abs(u0).max()))
 
 
 def test_gauss_newton_sharded_wave():
@@ -305,3 +308,114 @@ def test_gauss_newton_sharded_wave():
     optimize_gauss_newton(gn_args("cg", damp=1e4), problem1, state1)
     u1 = np.asarray(problem1.domain.field(state1, "u"))
     np.testing.assert_allclose(u1, u0, rtol=0, atol=1e-11 * max(1.0, np.abs(u0).max()))
+
+
+def test_gspmd_node_axis_shards_unevenly():
+    """A node-located time axis (N+1 entries over k devices) genuinely
+    shards under plain GSPMD (--mesh, no halo): the in-jit uneven sharding
+    constraint (Problem._constrain_fields) keeps the partition that the
+    storage layout must drop.  Pinned by (a) loss+grad equality with the
+    unsharded evaluation and (b) the compiled module containing a
+    collective-permute (the partitioned-roll signature), which a t:8-only
+    mesh admits only if t is truly partitioned -- and (c) no replication
+    warning."""
+    from odil_tpu.models import veltracer as vt
+
+    problem0, state0, _ = vt.build(
+        nt=16, nx=16, ny=16, kernel="xla", multigrid=True, dtype=np.float64
+    )
+    loss_fn0, arrays0 = problem0.make_loss_fn(state0)
+    vg0 = jax.jit(jax.value_and_grad(loss_fn0, has_aux=True))
+    (l0, _), g0 = vg0(arrays0, {"epoch": 0})
+
+    import io as _io
+
+    import odil_tpu.util as util
+
+    mesh = parallel.mesh_from_spec("t:8")
+    buf = _io.StringIO()
+    old_stream, old_echo = util._log_sink.stream, util._log_sink.echo
+    util.set_log_file(buf, echo=False)
+    try:
+        problem1, state1, _ = vt.build(
+            nt=16, nx=16, ny=16, kernel="xla", multigrid=True,
+            dtype=np.float64, mesh=mesh, partition={"t": "t"},
+        )
+        loss_fn1, arrays1 = problem1.make_loss_fn(state1)
+        arrays1 = parallel.shard_state_arrays(problem1.domain, arrays1)
+        vg1 = jax.jit(jax.value_and_grad(loss_fn1, has_aux=True))
+        (l1, _), g1 = vg1(arrays1, {"epoch": 0})
+    finally:
+        util.set_log_file(old_stream, echo=old_echo)
+    assert "warning: replicating" not in buf.getvalue()
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-12, atol=0)
+    for a, b in zip(g1, g0):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-11,
+            atol=1e-12 * max(1.0, float(np.abs(np.asarray(b)).max())),
+        )
+    txt = vg1.lower(arrays1, {"epoch": 0}).compile().as_text()
+    assert "collective-permute" in txt, "t axis did not partition"
+
+
+def test_gauss_newton_halo_matches_single_device():
+    """GN through the halo residual map (shard_map + ppermute exchange,
+    halo.make_halo_residual_fn) reproduces the single-device iterate.  The
+    Jacobi preconditioner's Hutchinson probes draw over the padded residual
+    space, so the CG path differs; the converged iterate must not."""
+    from odil_tpu.newton import optimize_gauss_newton
+
+    problem0, state0 = poisson_like_problem(N=32)
+    args0 = gn_args("cg", damp=1e4)
+    optimize_gauss_newton(args0, problem0, state0)
+    u0 = np.asarray(problem0.domain.field(state0, "u"))
+
+    mesh = parallel.mesh_from_spec("x:2,y:4")
+    problem1, state1 = poisson_like_problem(
+        mesh=mesh, partition={"x": "x", "y": "y"}, N=32
+    )
+    args1 = gn_args("cg", damp=1e4)
+    args1.halo = 1
+    optimize_gauss_newton(args1, problem1, state1)
+    u1 = np.asarray(problem1.domain.field(state1, "u"))
+    np.testing.assert_allclose(u1, u0, rtol=0, atol=1e-9 * max(1.0, np.abs(u0).max()))
+
+
+def test_halo_residual_fn_matches_plain():
+    """The halo residual map equals the plain one up to a fixed permutation
+    plus structurally-zero ghost rows: sorted magnitudes (with the zero pad
+    stripped) agree, and so do J^T r and the normal matvec's pullback."""
+    problem0, state0 = poisson_like_problem(N=16)
+    f0, x0 = problem0.residual_fn(state0)
+
+    mesh = parallel.mesh_from_spec("x:2,y:4")
+    problem1, state1 = poisson_like_problem(
+        mesh=mesh, partition={"x": "x", "y": "y"}, N=16
+    )
+    f1, x1 = problem1.residual_fn(state1, halo=True)
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x0), rtol=0, atol=0)
+
+    r0 = np.asarray(f0(x0))
+    r1 = np.asarray(f1(x1))
+    assert f1.term_names == f0.term_names
+    pad = len(r1) - len(r0)
+    assert pad >= 0
+    s0, s1 = np.sort(np.abs(r0)), np.sort(np.abs(r1))
+    if pad:
+        assert s1[:pad].max() == 0.0
+        s1 = s1[pad:]
+    np.testing.assert_allclose(s1, s0, rtol=1e-13, atol=1e-13)
+
+    def jtr(f, x):
+        r, pb = jax.vjp(f, x)
+        return np.asarray(pb(r)[0])
+
+    np.testing.assert_allclose(jtr(f1, x1), jtr(f0, x0), rtol=1e-11, atol=1e-9)
+    v = problem0.domain.cast(np.random.RandomState(3).randn(x0.size))
+    jv0 = jax.jvp(f0, (x0,), (v,))[1]
+    jv1 = jax.jvp(f1, (x1,), (v,))[1]
+    _, pb0 = jax.vjp(f0, x0)
+    _, pb1 = jax.vjp(f1, x1)
+    np.testing.assert_allclose(
+        np.asarray(pb1(jv1)[0]), np.asarray(pb0(jv0)[0]), rtol=1e-11, atol=1e-9
+    )
