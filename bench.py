@@ -79,6 +79,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--epochs", type=int, default=MEASURE_EPOCHS)
     parser.add_argument("--warmup", type=int, default=WARMUP_EPOCHS)
+    parser.add_argument("--chunks", type=int, default=5,
+                        help="Measured chunks; the reported value is the "
+                             "MEDIAN evals/s across them (the remote-tunnel "
+                             "dispatch carries ~3-5%% run-to-run noise, so a "
+                             "single chunk cannot resolve small deltas)")
     parser.add_argument("--kernel", type=str, default="pallas_mg",
                         choices=["pallas", "pallas_mg", "xla"],
                         help="Residual kernel: fused Pallas row-wise, the "
@@ -133,14 +138,18 @@ def main():
     carry, losses = run_chunk(carry, args.epochs)
     jax.block_until_ready(losses)
 
-    t0 = time.perf_counter()
-    carry, losses = run_chunk(carry, args.epochs)
-    jax.block_until_ready(losses)
-    elapsed = time.perf_counter() - t0
+    # Measure several chunks and report the MEDIAN: single-chunk numbers
+    # through the remote tunnel spread ~3-5% run to run (BENCH_NOTES.md),
+    # and cross-session captures of the same code have differed by 10%.
+    rates = []
+    for _ in range(max(1, args.chunks)):
+        t0 = time.perf_counter()
+        carry, losses = run_chunk(carry, args.epochs)
+        jax.block_until_ready(losses)
+        rates.append(args.epochs / (time.perf_counter() - t0))
 
-    evals_per_sec = args.epochs / elapsed
-    cells = NT * NX * NY
-    mcells = cells * evals_per_sec / 1e6
+    evals_per_sec = float(np.median(rates))
+    best_ms = 1000.0 / max(rates)
     final_loss = float(np.asarray(losses)[-1])
     assert np.isfinite(final_loss)
 
@@ -151,6 +160,8 @@ def main():
                 "value": round(evals_per_sec, 3),
                 "unit": "evals/s",
                 "vs_baseline": round(evals_per_sec / BASELINE_EVALS_PER_SEC, 2),
+                "chunks": [round(r, 1) for r in rates],
+                "best_ms_per_epoch": round(best_ms, 4),
             }
         )
     )
