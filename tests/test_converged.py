@@ -34,14 +34,18 @@ CONVERGED_CASES = [
         # BENCH_NOTES: poisson 64^2 --ref osc --rhs exact, Adam lr 5e-3
         # fp64, 1000 epochs; ref final error_u 0.0111, loss 13.5 (the error
         # oscillates epoch-to-epoch at this lr; round-1 measured ours at
-        # 0.0121 / 11.5).
+        # 0.0121 / 11.5).  Seed-INdependent (benchmarks/seed_spread.py: five
+        # seeds bitwise-identical -- zeros init, deterministic data), so the
+        # margins cover only lr-oscillation phase + numerics drift: measured
+        # min-of-last-3 ratios 0.81 (loss) / 1.09 (error_u); see
+        # docs/parity_data/README.md.
         "poisson",
         "poisson",
         "poisson",
         ["--N", "64", "--ref", "osc", "--rhs", "exact", "--double", "1",
          "--epochs", "1000", "--history_every", "50"],
         "ref_poisson.csv",
-        {"error_u": 1.5, "loss": 1.6},
+        {"error_u": 1.25, "loss": 1.3},
     ),
     (
         # wave 64^2 L-BFGS-B fp64, 200 epochs; ref final error_u 0.1857,
@@ -56,16 +60,20 @@ CONVERGED_CASES = [
     ),
     (
         # heat inverse-conductivity 64^2, Adam fp32, stripe measurements,
-        # 1500 epochs; ref final loss 0.0067, error_u 0.0396, error_k 0.404
-        # (ours measured 0.0137 / 0.0560 / 0.392 -- the loss margin covers
-        # the 2.1x RNG-initialization spread).
+        # 1500 epochs; ref final loss 0.0067, error_u 0.0396, error_k 0.404;
+        # ours at the lane's pinned default seed: 0.0137 / 0.0560 / 0.392
+        # (ratios 2.05 / 1.41 / 0.97).  The problem itself is strongly
+        # seed-sensitive -- benchmarks/seed_spread.py measured a 5.5x loss
+        # spread over 5 seeds (docs/parity_data/README.md) -- but the lane
+        # runs ONE pinned seed deterministically, so the margins are the
+        # pinned-seed ratio + ~25% numerics headroom, not the RNG spread.
         "heat_inverse",
         "heat",
         "heat",
         ["--Nt", "64", "--Nx", "64", "--epochs", "1500", "--history_every", "100",
          "--infer_k", "1", "--imposed", "stripe"],
         "ref_heat_inv.csv",
-        {"loss": 3.0, "error_u": 2.0, "error_k": 1.4},
+        {"loss": 2.6, "error_u": 1.8, "error_k": 1.25},
     ),
     (
         # infer_constant 64^2 L-BFGS-B fp64, 100 epochs; round-1 measured
