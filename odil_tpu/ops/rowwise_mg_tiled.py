@@ -423,11 +423,26 @@ def _loss_and_grads_tiled(
             er = jnp.roll(ers[f * adepth + m], -m, axis=1)
             contrib = jnp.concatenate([el, er], axis=2)  # (nxt, T, 2h, Y)
             acc = acc + jnp.transpose(contrib, (1, 0, 2, 3))
-        efine.append(acc.reshape(T, nxt * 2 * h, Y))
+        efine.append(acc)
 
-    # 2. Fold edge cotangents into dt0 (f0 * e at the edge x-rows).
+    # 2. Fold edge cotangents into dt0 (f0 * e at the edge x-rows).  Each
+    #    boundary-adjacent fine row receives EXACTLY ONE contribution (the
+    #    [pW-h, pW) sets are pairwise disjoint, as are [pW+W, pW+W+h), and
+    #    the two families never meet), so the fold is a static roll +
+    #    concat + add over the (T, nxt, W, Y) tile view -- NOT a scatter.
+    #    ``.at[:, edge_rows].add`` here made XLA lay out the whole
+    #    full-size operand chain in a transposed {2,0,1} layout, costing
+    #    ~1 ms/iter of layout-flip copies at 512^2 (round-4 profile).
+    #    Bitwise-identical: one contribution per row, adds commute.
+    assert 2 * h <= W
     for f in range(nf):
-        dt0[f] = dt0[f].at[:, edge_rows].add(f0s[f] * efine[f])
+        to_last = jnp.roll(efine[f][:, :, :h], -1, axis=1)  # left edge of p+1
+        to_first = jnp.roll(efine[f][:, :, h:], 1, axis=1)  # right edge of p-1
+        upd = jnp.concatenate(
+            [to_first, jnp.zeros((T, nxt, W - 2 * h, Y), dtype), to_last],
+            axis=2,
+        )
+        dt0[f] = (dt0[f].reshape(T, nxt, W, Y) + f0s[f] * upd).reshape(T, X, Y)
 
     # 3. Coarse cotangent: t-blend the raw rows (row t feeds coarse rows
     #    t//2 with weight 1-wt and t//2+1 with wt; wt = .5 for odd t),
@@ -436,20 +451,30 @@ def _loss_and_grads_tiled(
     Wx_t = jnp.asarray(Wx_np.astype(dtype))
     W_edge = Wx_t[edge_rows]  # (nxt*2h, CX)
     dcoarse = []
+    assert 2 * hc <= Wc
     for f in range(nf):
         dc = dcs[f]  # (nxt, T, Wc + 2hc, CY)
         # Edge-row coarse contribution at full width, per fine row t.
-        dc_edge = jnp.einsum("re,tey,yc->trc", W_edge.T, efine[f], Wy)
+        dc_edge = jnp.einsum(
+            "re,tey,yc->trc", W_edge.T, efine[f].reshape(T, nxt * 2 * h, Y), Wy
+        )
         # (T, CX, CY): W_edge.T is (CX, nxt*2h); Wy restricts Y -> CY.
-        full = jnp.zeros((T, CX, CY), dtype)
-        for p in range(nxt):
-            cols = (np.arange(p * Wc - hc, p * Wc + Wc + hc)) % CX
-            # Split periodic window into contiguous spans (static).
-            spans = np.split(np.arange(cols.size), np.where(np.diff(cols) != 1)[0] + 1)
-            for sp in spans:
-                c0_, c1_ = int(cols[sp[0]]), int(cols[sp[-1]]) + 1
-                full = full.at[:, c0_:c1_].add(dc[p][:, sp[0] : sp[-1] + 1])
-        full = full + dc_edge
+        # Fold the widened tile windows into the (T, nxt, Wc, CY) tile
+        # view with static rolls + one concat + add (see the dt0 fold
+        # above): window p's core [hc, hc+Wc) lands on its own tile, its
+        # left hc columns on the last hc of tile p-1, its right hc on the
+        # first hc of tile p+1.  Each column sums core + at most one edge
+        # -- commutative, so identical to the old sequential span adds.
+        core = jnp.transpose(dc[:, :, hc : hc + Wc], (1, 0, 2, 3))
+        to_last = jnp.roll(jnp.transpose(dc[:, :, :hc], (1, 0, 2, 3)), -1, axis=1)
+        to_first = jnp.roll(
+            jnp.transpose(dc[:, :, hc + Wc :], (1, 0, 2, 3)), 1, axis=1
+        )
+        upd = jnp.concatenate(
+            [to_first, jnp.zeros((T, nxt, Wc - 2 * hc, CY), dtype), to_last],
+            axis=2,
+        )
+        full = (core + upd).reshape(T, CX, CY) + dc_edge
         # t-blend: dcoarse[c] = full[2c] + .5*(full[2c-1] + full[2c+1]).
         ev = full[0::2]  # (Tc, CX, CY)
         odd = full[1::2]  # (Tc - 1, ...)
