@@ -15,6 +15,9 @@ __version__ = "0.1.0"
 
 # ruff: noqa: F401, E402
 
+# Eager: applies process-level JAX config (x64, matmul precision, compile
+# cache) before anything can trace.  See runtime.py.
+from . import runtime
 from . import cache, core, core_min, linsolver, parallel
 from .backend import ModBase, ModJax, ModNumpy
 from .core import (

@@ -309,7 +309,7 @@ def _local_mg_block(plan, meta, levels):
     replicated coarser terms.  Windows along partitioned dims are selected
     with ``dynamic_slice`` (static sizes from the meta, device-dependent
     starts); active unpartitioned dims use the full interp matrix."""
-    from .transfer import _interp_axis_matmul
+    from .transfer import _interp_axis_matmul, dot_xw
 
     domain = plan.domain
     ndim = domain.ndim
@@ -372,7 +372,9 @@ def _local_mg_block(plan, meta, levels):
                      w_in if w_in is not None else M.shape[1]),
                 )
                 moved = jnp.moveaxis(acc, d, -1)
-                acc = jnp.moveaxis(moved @ Msub.T, -1, d)
+                # Split-operand exact dot: Msub is a window of the interp
+                # matrix (bf16-exact entries); see transfer.dot_xw.
+                acc = jnp.moveaxis(dot_xw(moved, Msub.T), -1, d)
             else:
                 acc = _interp_axis_matmul(acc, d, meta["loc"][d], xp)
         lv = levels[lvl] if lvl == 0 else window(levels[lvl], lvl)

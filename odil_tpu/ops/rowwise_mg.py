@@ -55,6 +55,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..transfer import dot_wx as _dot_wx
+from ..transfer import dot_xw as _dot_xw
 from .rowwise import _resident_spec, _row_spec, _sumsq_vec, _weights_of, _whole_spec
 
 __all__ = [
@@ -76,11 +78,11 @@ def _coarse_spec(shape, T, Tc, offset, k):
 
 
 def _up2d(c, Wx, Wy):
-    return Wx @ (c @ Wy.T)
+    return _dot_wx(Wx, _dot_xw(c, Wy.T))
 
 
 def _down2d(d, Wx, Wy):
-    return Wx.T @ (d @ Wy)
+    return _dot_wx(Wx.T, _dot_xw(d, Wy))
 
 
 def _recon(r, t0_plane, c0, c1, Wx, Wy, f0):

@@ -43,7 +43,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..transfer import _interp_matrix
 from .rowwise import _sumsq_vec, _weights_of
-from .rowwise_mg import _recon_rows_xla
+from .rowwise_mg import _dot_wx, _dot_xw, _recon_rows_xla
 
 __all__ = ["rowwise_mg_tiled_loss_and_grads", "mg_tiled_supported"]
 
@@ -257,7 +257,9 @@ def _loss_and_grads_tiled(
                         )
                     )  # (Wc + 2hc, CY)
                 cblend = (1.0 - wt) * cw[0] + wt * cw[1]
-                fresh = f0s[f] * t0_w + Wsub_v @ (cblend @ Wy_v.T)
+                # Split-operand exact dots (W matrices are bf16-exact);
+                # see rowwise_mg._dot_xw for the precision contract.
+                fresh = f0s[f] * t0_w + _dot_wx(Wsub_v, _dot_xw(cblend, Wy_v.T))
                 fresh_rows.append(fresh)
                 frows = [fresh]
                 for m in range(1, hist + 1):
@@ -327,8 +329,10 @@ def _loss_and_grads_tiled(
                     complete = jnp.where(i >= T, complete + wrapc, complete)
                 out_t0_refs[f][0] = f0s[f] * complete
                 # Raw widened coarse cotangent row; t-blend + tile fold in
-                # the XLA epilogue.
-                out_dc_refs[f][0, 0] = Wsub_v[h : h + W].T @ (complete @ Wy_v)
+                # the XLA epilogue.  Split-operand exact dots as above.
+                out_dc_refs[f][0, 0] = _dot_wx(
+                    Wsub_v[h : h + W].T, _dot_xw(complete, Wy_v)
+                )
 
     in_specs = []
     inputs = []

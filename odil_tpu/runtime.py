@@ -18,6 +18,15 @@ Environment variables (kept compatible with the reference):
 - ``ODIL_DTYPE``: ``float32`` (default) or ``float64``.
 - ``ODIL_JIT``: enable jit compilation (default 1).
 - ``ODIL_WARN``: keep warnings (default 0 silences them).
+- ``ODIL_MATMUL_PRECISION``: JAX matmul precision (default ``highest``).
+  The TPU MXU's native pass rounds fp32 matmul INPUTS to bfloat16; at the
+  default JAX setting that silently floors converged accuracy -- the
+  flagship 256^2 trajectory plateaus 54% above the reference's final loss
+  through the multigrid prolongation matmuls alone (round-4 measurement,
+  BENCH_NOTES.md "matmul precision").  The reference computes fp32-exact
+  (CPU); matching its convergence is the framework contract, so full
+  precision is the default and speed is the opt-out
+  (``ODIL_MATMUL_PRECISION=default`` restores the raw-MXU mode).
 """
 
 import os
@@ -57,11 +66,16 @@ if dtype_name not in ("float32", "float64"):
     sys.stderr.write(f"Expected ODIL_DTYPE=float32 or float64, got '{dtype_name}'\n")
     sys.exit(1)
 
+matmul_precision = os.environ.get("ODIL_MATMUL_PRECISION", "highest")
+
 if backend_name == "jax":
     import jax
 
     if dtype_name == "float64":
         jax.config.update("jax_enable_x64", True)
+
+    if matmul_precision != "default":
+        jax.config.update("jax_default_matmul_precision", matmul_precision)
 
     # Persistent compilation cache: TPU compiles of the scanned training
     # loops take minutes; cache them across processes.  TPU-only (CPU AOT

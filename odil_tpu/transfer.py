@@ -116,15 +116,101 @@ def _interp_matrix(n, loc, dtype):
     return mat
 
 
+def _split3(x, jnp):
+    """Three-term decomposition of an fp32 array into fp32 terms that are
+    each EXACTLY representable in bfloat16: x1 + x2 carries the top 16
+    mantissa bits, x3 the remaining 8 (its own MXU bf16 input-rounding
+    drops only ~2^-24 |x|).
+
+    The split is computed by MASKING mantissa bits, not by convert
+    round-trips: ``x - f32(bf16(x))`` looks like removable excess
+    precision to XLA (``xla_allow_excess_precision`` folds the
+    down-up-cast pair away), which silently zeroes the correction terms
+    under jit -- measured on the v5e: the convert form is fp32-grade
+    eagerly (6e-8) but collapses to raw-MXU error (1.8e-3) once jitted.
+    Masking the low 16 mantissa bits gives a truncated head whose
+    subtraction is EXACT in fp32 (the residual's significand fits in the
+    cleared bits), and each masked term has <= 8 significant bits, so
+    the MXU's round-to-bf16 of it is lossless.  The terms stay fp32
+    (not cast to bf16): Mosaic's tpu.matmul rejects bf16 operands with
+    an fp32 accumulator, while fp32 operands at contract precision
+    DEFAULT are the standard single-pass form in both compilers."""
+    from jax import lax
+
+    m = jnp.uint32(0xFFFF0000)
+    u = lax.bitcast_convert_type(x, jnp.uint32)
+    x1 = lax.bitcast_convert_type(u & m, jnp.float32)
+    r1 = x - x1
+    x2 = lax.bitcast_convert_type(
+        lax.bitcast_convert_type(r1, jnp.uint32) & m, jnp.float32
+    )
+    x3 = r1 - x2
+    return x1, x2, x3
+
+
+def _use_split(x, jnp):
+    import jax
+
+    return x.dtype == jnp.float32 and jax.default_backend() == "tpu"
+
+
+def dot_xw(x, w):
+    """``x @ w`` at fp32 accuracy in three raw MXU passes, for ``w``
+    EXACTLY representable in bfloat16 -- the interp matrices are: every
+    entry is dyadic (1/4, 1/2, 3/4, 1, 3/2, 2 from the kernels and their
+    linear-extrapolation boundary rows).  Each split term's product is
+    exact on the MXU (each DEFAULT pass rounds both operands to bf16,
+    losslessly here, and accumulates in fp32), so this matches
+    ``Precision.HIGHEST`` accuracy at HALF its 6-pass cost.
+    ``Precision.HIGH`` (3 passes) is NOT enough: it splits both operands
+    and drops x_lo contributions beyond 2^-16 -- measured on the 256^2
+    flagship, default precision plateaus 54% above the reference's
+    converged loss, HIGH walks to a different plateau, HIGHEST (and this
+    scheme) tracks the reference within a few percent per epoch
+    (BENCH_NOTES.md round 4, "matmul precision").  Off-TPU fp32 dots are
+    natively exact; fp64 keeps HIGHEST (emulated, already exact)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not _use_split(x, jnp):
+        return jnp.dot(x, w, precision=jax.lax.Precision.HIGHEST)
+    # w rounds to bf16 losslessly inside each DEFAULT-precision pass
+    # (bf16-exact entries, asserted in tests); so does each split term.
+    p = jax.lax.Precision.DEFAULT
+    x1, x2, x3 = _split3(x, jnp)
+    return jnp.dot(x1, w, precision=p) + (
+        jnp.dot(x2, w, precision=p) + jnp.dot(x3, w, precision=p)
+    )
+
+
+def dot_wx(w, x):
+    """``w @ x`` with ``w`` bf16-exact; see ``dot_xw``."""
+    import jax
+    import jax.numpy as jnp
+
+    if not _use_split(x, jnp):
+        return jnp.dot(w, x, precision=jax.lax.Precision.HIGHEST)
+    p = jax.lax.Precision.DEFAULT
+    x1, x2, x3 = _split3(x, jnp)
+    return jnp.dot(w, x1, precision=p) + (
+        jnp.dot(w, x2, precision=p) + jnp.dot(w, x3, precision=p)
+    )
+
+
 def _interp_axis_matmul(u, axis, loc, xp):
     """Interpolation along `axis` as a dense matmul -- on TPU this runs on
     the MXU and avoids the lane-interleave shuffle entirely.  The per-level
-    matrices are tiny (n_fine x n)."""
+    matrices are tiny (n_fine x n).  The data operand goes through the
+    split-operand exact dot (``dot_xw``): raw MXU passes round fp32 inputs
+    to bfloat16, which measurably floors converged accuracy."""
     if loc == ".":
         return u
     mat = xp.asarray(_interp_matrix(u.shape[axis], loc, u.dtype))
     moved = xp.moveaxis(u, axis, -1)
-    out = moved @ mat.T
+    if getattr(xp, "__name__", "") == "numpy":
+        out = moved @ mat.T
+    else:
+        out = dot_xw(moved, mat.T)
     return xp.moveaxis(out, -1, axis)
 
 

@@ -35,17 +35,19 @@ CONVERGED_CASES = [
         # fp64, 1000 epochs; ref final error_u 0.0111, loss 13.5 (the error
         # oscillates epoch-to-epoch at this lr; round-1 measured ours at
         # 0.0121 / 11.5).  Seed-INdependent (benchmarks/seed_spread.py: five
-        # seeds bitwise-identical -- zeros init, deterministic data), so the
-        # margins cover only lr-oscillation phase + numerics drift: measured
-        # min-of-last-3 ratios 0.81 (loss) / 1.09 (error_u); see
-        # docs/parity_data/README.md.
+        # seeds bitwise-identical -- zeros init, deterministic data).  The
+        # error_u margin is tight (measured 1.09 across three environments);
+        # the LOSS tail oscillates 9.3-35.3 row to row, so its min-of-last-3
+        # is phase-aliased -- measured 0.81 / 1.02 / 1.38x the reference
+        # final across environments -- and its margin covers that envelope.
+        # See docs/parity_data/README.md.
         "poisson",
         "poisson",
         "poisson",
         ["--N", "64", "--ref", "osc", "--rhs", "exact", "--double", "1",
          "--epochs", "1000", "--history_every", "50"],
         "ref_poisson.csv",
-        {"error_u": 1.25, "loss": 1.3},
+        {"error_u": 1.25, "loss": 1.8},
     ),
     (
         # wave 64^2 L-BFGS-B fp64, 200 epochs; ref final error_u 0.1857,
@@ -127,20 +129,25 @@ def test_flagship_256_equal_iteration_envelope():
     """The driver metric's literal sentence: the flagship velocity_from_tracer
     at (64, 256, 256) reaches the reference's recorded loss trajectory in
     equal iterations.  Both sides of the comparison are archived in
-    docs/parity_data (ref_velt_256.csv: the reference's canonical
-    single-thread CPU run; our_velt_256.csv: this implementation on the
-    TPU, epoch-0 loss identical to 6 digits, epoch-20 loss within 10%).
-    This test re-runs the config on the CPU test environment and asserts
-    the same envelope against the reference rows."""
+    docs/parity_data: ref_velt_256.csv is the reference's canonical
+    single-thread CPU run to 400 epochs (376.8 s); our_velt_256.csv is this
+    implementation (pallas_mg kernel, one TPU v5e) at identical iterations
+    -- epoch-0 loss identical to 6 digits and every one of the 41 history
+    rows within 4.04% of the reference loss (round-4 measurement, at the
+    shipped split-operand matmul precision).  The archive gate allows 10%
+    (2.5x the measured worst row); the in-test CPU re-run gets 15% to cover
+    cross-backend reduction-order drift on top.
+    """
     ref = read_csv(os.path.join(PARITY_DIR, "ref_velt_256.csv"))
     ours = read_csv(os.path.join(PARITY_DIR, "our_velt_256.csv"))
     # The committed archive itself must satisfy the envelope.
     by_epoch = {r["epoch"]: r for r in ours}
+    assert len(ref) >= 41
     for r in ref:
         assert r["epoch"] in by_epoch
         want = float(r["loss"])
         have = float(by_epoch[r["epoch"]]["loss"])
-        assert abs(have - want) <= 0.35 * abs(want), (r["epoch"], want, have)
+        assert abs(have - want) <= 0.10 * abs(want), (r["epoch"], want, have)
 
     problem, state, out = run_example(
         "velocity_from_tracer",
@@ -159,7 +166,7 @@ def test_flagship_256_equal_iteration_envelope():
         matched += 1
         want = float(r["loss"])
         have = float(rows[r["epoch"]]["loss"])
-        assert abs(have - want) <= 0.35 * abs(want), (
+        assert abs(have - want) <= 0.15 * abs(want), (
             f"epoch {r['epoch']}: reference loss {want} vs run {have}"
         )
     assert matched >= 2 and ref[-1]["epoch"] in rows, (matched, sorted(rows))

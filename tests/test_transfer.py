@@ -87,3 +87,39 @@ def test_roundtrip_identity_on_linear():
     ui = odil.interp_to_finer(uh, loc="cn", mod=mod)
     back = odil.restrict_to_coarser(ui, loc="cn", mod=mod)
     np.testing.assert_allclose(np.asarray(back), np.asarray(uh), atol=1e-12)
+
+
+def test_interp_matrices_bf16_exact():
+    """The split-operand exact dot (transfer.dot_xw/dot_wx) relies on every
+    interp-matrix entry being exactly representable in bfloat16; pin it."""
+    import jax.numpy as jnp
+
+    from odil_tpu.transfer import _interp_matrix
+
+    for n in (3, 4, 5, 8, 16, 33, 64, 129):
+        for loc in ("c", "n"):
+            W = _interp_matrix(n, loc, np.float32)
+            Wb = np.asarray(jnp.asarray(W).astype(jnp.bfloat16).astype(jnp.float32))
+            assert np.array_equal(W, Wb), (n, loc)
+
+
+def test_split_dot_fp32_grade(monkeypatch):
+    """dot_xw/dot_wx's three-term bf16 split reproduces the fp32 dot to
+    ~2^-22 relative even when the split branch is forced (off-TPU it
+    normally short-circuits to a native dot)."""
+    import odil_tpu.transfer as tr
+
+    monkeypatch.setattr(tr, "_use_split", lambda x, jnp: True)
+    rng = np.random.default_rng(7)
+    x = np.asarray(rng.normal(size=(37, 33)), np.float32) * np.exp(
+        rng.normal(size=(37, 33))
+    ).astype(np.float32)
+    W = tr._interp_matrix(33, "c", np.float32)
+    ref = (x.astype(np.float64) @ W.T.astype(np.float64)).astype(np.float64)
+    got = np.asarray(tr.dot_xw(x, W.T), np.float64)
+    err = np.abs(got - ref).max() / np.abs(ref).max()
+    assert err < 2e-6, err
+    got2 = np.asarray(tr.dot_wx(W, x.T), np.float64)
+    ref2 = (W.astype(np.float64) @ x.T.astype(np.float64))
+    err2 = np.abs(got2 - ref2).max() / np.abs(ref2).max()
+    assert err2 < 2e-6, err2
