@@ -29,8 +29,8 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--nt", type=int, default=64)
     parser.add_argument("--nx", type=int, default=512)
-    parser.add_argument("--length", type=int, default=50)
-    parser.add_argument("--reps", type=int, default=3)
+    parser.add_argument("--length", type=int, default=100)
+    parser.add_argument("--reps", type=int, default=5)
     parser.add_argument("--reach", type=int, default=8)
     args = parser.parse_args()
 
@@ -69,10 +69,12 @@ def main():
 
                 l, g = jax.value_and_grad(loss)(x)
                 gx = g
+                s0 = l
             else:
                 sums, dfields, _ = out
                 gx = dfields[0]
-            return (x - 1e-30 * gx, t + 1), 0.0
+                s0 = sums[0]
+            return (x - 1e-30 * gx, t + 1), s0
 
         return jax.jit(lambda c: jax.lax.scan(step, c, None, length=args.length))
 
@@ -81,12 +83,16 @@ def main():
         run = chain(halox)
         carry = (u, jnp.asarray(0, jnp.int32))
         carry, out = run(carry)
-        jax.block_until_ready(carry)
+        # Drain the axon pipeline: right after a compile, block_until_ready
+        # can return before the execution finishes (measured: the "work"
+        # then lands in the next device_get).  A scalar fetch forces it.
+        float(np.asarray(out)[-1])
         times = []
         for _ in range(args.reps):
             t0 = time.perf_counter()
             carry, out = run(carry)
-            jax.block_until_ready(carry)
+            jax.block_until_ready((carry, out))
+            float(np.asarray(out)[-1])  # scalar fetch: honest completion
             times.append((time.perf_counter() - t0) / args.length)
         dt = float(np.median(times))
         print(f"{label}: {dt * 1e3:.3f} ms/iter "
