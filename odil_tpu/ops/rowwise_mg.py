@@ -35,10 +35,11 @@ the existing recompute-based row cotangent dfine[i] (jax.vjp of the row
 function inside the kernel) splits into
 
   d t0[i]  = factor0 * dfine[i]
-  d P      += w_k(i) * Wx^T @ dfine[i] @ Wy    into rows i//2 and i//2 + 1
+  d P[c]   = Wx^T @ (dfine[2c] + .5 dfine[2c-1] + .5 dfine[2c+1]) @ Wy
 
-accumulated across the sequential grid into two resident coarse outputs
-(k = 0, 1) that the wrapper sums.
+with the blended fine cotangent accumulated in a depth-2 VMEM ring and
+down-projected once per coarse row when it closes (at fine row 2c+1, or
+T-1 for the last row).
 
 Restrictions (asserted): 3D fields, time axis node-located (odd T,
 T = 2*(Tc-1)+1), x/y cell-located with exact halving (CX = X//2).
@@ -246,7 +247,7 @@ def _backward_mg(
     is then the level-2 Horner partial P2, and level-1 rows
     P1[r] = f1 * t1[r] + up2d(blend_t2(P2), W1x, W1y) are reconstructed
     in VMEM on even fine rows and carried in a depth-2 ring (row 0 enters
-    as a tiny XLA-computed resident).  The dc0/dc1 outputs then hold the
+    as a tiny XLA-computed resident).  The dc output then holds the
     LEVEL-1 cotangent dP1; its split into (dt1, dP2) happens in the
     caller's XLA epilogue by the same linearity argument.
 
@@ -334,10 +335,9 @@ def _backward_mg(
         g_ref = refs[pos]
         pos += 1
         out_t0_refs = refs[pos : pos + nf]
-        out_c0_refs = refs[pos + nf : pos + 2 * nf]
-        out_c1_refs = refs[pos + 2 * nf : pos + 3 * nf]
-        out_param_refs = refs[pos + 3 * nf : pos + 3 * nf + np_]
-        pos += 3 * nf + np_
+        out_c_refs = refs[pos + nf : pos + 2 * nf]
+        out_param_refs = refs[pos + 2 * nf : pos + 2 * nf + np_]
+        pos += 2 * nf + np_
         out_sums_ref = refs[pos] if with_sums else None
         pos += 1 if with_sums else 0
         if emit_dwraps:
@@ -352,7 +352,9 @@ def _backward_mg(
         if not emit_dwraps:
             wcot_refs = refs[pos : pos + (nf if hist else 0)]
             pos += nf if hist else 0
-        p1ring_refs = refs[pos:]
+        p1ring_refs = refs[pos : pos + (nf if lvl2 is not None else 0)]
+        pos += nf if lvl2 is not None else 0
+        dacc_refs = refs[pos:]
 
         i = pl.program_id(0)
         live = i < T  # Tail programs (i >= T) only finalize.
@@ -363,12 +365,9 @@ def _backward_mg(
 
         # Reconstruct fine row i (tail programs compute garbage row i % T;
         # all their writes are masked).  rows[f][m] = fine row i - m.
+        it = i % T
         if lvl2 is not None:
-            # Two-level mode: maintain the depth-2 level-1 ring.  Row 0
-            # enters as a resident at i == 0; on even fine rows, row
-            # r1 = min(i//2 + 1, Tc-1) is reconstructed from t1 + P2.
             W1x_v, W1y_v = w1_refs[0][...], w1_refs[1][...]
-            it = i % T
             r1 = jnp.minimum(it // 2 + 1, Tc - 1)
 
             @pl.when(i == 0)
@@ -390,15 +389,15 @@ def _backward_mg(
         for f in range(nf):
             if lvl2 is None:
                 fresh = _recon(
-                    i % T, t0_refs[f][0], c_refs[2 * f][0], c_refs[2 * f + 1][0],
+                    it, t0_refs[f][0], c_refs[2 * f][0], c_refs[2 * f + 1][0],
                     Wx_v, Wy_v, f0s[f],
                 )
             else:
                 fresh = _recon(
-                    i % T,
+                    it,
                     t0_refs[f][0],
-                    p1ring_refs[f][((i % T) // 2) % 2],
-                    p1ring_refs[f][jnp.minimum((i % T) // 2 + 1, Tc - 1) % 2],
+                    p1ring_refs[f][(it // 2) % 2],
+                    p1ring_refs[f][jnp.minimum(it // 2 + 1, Tc - 1) % 2],
                     Wx_v, Wy_v, f0s[f],
                 )
             fresh_rows.append(fresh)
@@ -470,32 +469,54 @@ def _backward_mg(
 
         # Finalize output row t = i - hist: complete after this program's
         # m=hist contribution.  Split dfine into t0 and coarse cotangents
-        # by linearity of the reconstruction.
+        # by linearity of the reconstruction.  The coarse part accumulates
+        # the t-BLENDED fine cotangent per coarse row (dacc ring: coarse
+        # row c collects rows 2c-1, 2c, 2c+1 with weights .5, 1, .5) and
+        # down-projects ONCE per coarse row when it closes (at t = 2c+1,
+        # or t = T-1 for the last row): one down2d per coarse row instead
+        # of one per fine row -- the t-blend moved ahead of the (linear)
+        # transposed prolongation.  (The forward mirror -- a ring of
+        # prolonged planes, one up2d per coarse row -- was built and
+        # measured a wash: the forward matmuls overlap with the block
+        # DMAs, so halving them saved nothing at 256^2 or 512^2 while
+        # costing 2 wide planes of VMEM per field; see docs/KERNELS.md
+        # "coarse-row cotangent ring".)
         @pl.when(i >= hist)
         def _():
             t = i - hist
-            wt = 0.5 * (t % 2).astype(t0s[0].dtype)
+            todd = t % 2 == 1
             for f in range(nf):
                 complete = acc_refs[f][t % adepth]
                 if hist and not emit_dwraps:
                     wrapc = wcot_refs[f][jnp.clip(i - T, 0, hist - 1)]
                     complete = jnp.where(i >= T, complete + wrapc, complete)
                 out_t0_refs[f][0] = f0s[f] * complete
-                dc = _down2d(complete, Wx_v, Wy_v)
-                # k=0 target row t//2: visited by programs with t = 2b, 2b+1.
-                @pl.when(t % 2 == 0)
-                def _(f=f):
-                    out_c0_refs[f][0] = jnp.zeros_like(out_c0_refs[f][0])
 
-                out_c0_refs[f][0] += (1.0 - wt) * dc
-                # k=1 target row t//2+1 (clamped): visited at t = 2b-2, 2b-1
-                # and, for the clamped final even t, re-visited -- accumulate
-                # there instead of re-initializing.
-                @pl.when((t % 2 == 0) & (t // 2 + 1 < Tc))
-                def _(f=f):
-                    out_c1_refs[f][0] = jnp.zeros_like(out_c1_refs[f][0])
+                # Even t: weight-1 contribution to coarse row t//2 (t == 0
+                # initializes its slot; the where discards the uninit read).
+                @pl.when(~todd)
+                def _(f=f, complete=complete):
+                    slot = (t // 2) % 2
+                    prev = jnp.where(
+                        t == 0, jnp.zeros_like(complete), dacc_refs[f][slot]
+                    )
+                    dacc_refs[f][slot] = prev + complete
 
-                out_c1_refs[f][0] += wt * dc
+                # Odd t: .5 to coarse row (t-1)//2 (its last contribution)
+                # and .5 OPENS row (t+1)//2 (assignment initializes).
+                @pl.when(todd)
+                def _(f=f, complete=complete):
+                    dacc_refs[f][((t - 1) // 2) % 2] += 0.5 * complete
+                    dacc_refs[f][((t + 1) // 2) % 2] = 0.5 * complete
+
+                closing = todd | (t == T - 1)
+
+                @pl.when(closing)
+                def _(f=f):
+                    c = jnp.where(todd, (t - 1) // 2, t // 2)
+                    out_c_refs[f][0] = _down2d(
+                        dacc_refs[f][c % 2], Wx_v, Wy_v
+                    )
 
         # Carry the fresh row for the next `hist` programs (after all reads).
         for f in range(nf):
@@ -557,17 +578,27 @@ def _backward_mg(
         + list(params)
         + [gmat]
     )
+    def _dc_close_spec(shape):
+        # Coarse-cotangent row c = t//2 closes at fine row t = 2c+1 (or
+        # t = T-1 for the last row); programs t = 2c, 2c+1 share block c,
+        # the closing program writes it, the index change flushes it.
+        zeros = (0,) * (len(shape) - 1)
+
+        def index_map(i):
+            return (jnp.clip((i - hist) // 2, 0, Tc - 1),) + zeros
+
+        return pl.BlockSpec((1,) + tuple(shape[1:]), index_map)
+
     out_specs = (
         [_row_spec(t.shape, T, -hist) for t in t0s]
-        + [_coarse_spec(p1_shape, T, Tc, -hist, 0) for _ in range(nf)]
-        + [_coarse_spec(p1_shape, T, Tc, -hist, 1) for _ in range(nf)]
+        + [_dc_close_spec(p1_shape) for _ in range(nf)]
         + [_whole_spec(p.shape) for p in params]
         + ([_whole_spec((1, nterms))] if with_sums else [])
         + ([_whole_spec((hist,) + tuple(t.shape[1:])) for t in t0s] if emit_dwraps else [])
     )
     out_shapes = (
         [jax.ShapeDtypeStruct(t.shape, t.dtype) for t in t0s]
-        + [jax.ShapeDtypeStruct(p1_shape, t0s[0].dtype)] * (2 * nf)
+        + [jax.ShapeDtypeStruct(p1_shape, t0s[0].dtype)] * nf
         + [jax.ShapeDtypeStruct(p.shape, p.dtype) for p in params]
         + ([jax.ShapeDtypeStruct((1, nterms), t0s[0].dtype)] if with_sums else [])
         + ([
@@ -583,7 +614,9 @@ def _backward_mg(
         for t in (t0s if hist and not emit_dwraps else ())
     ] + ([
         pltpu.VMEM((2,) + tuple(p1_shape[1:]), t0s[0].dtype) for _ in t0s
-    ] if lvl2 is not None else [])
+    ] if lvl2 is not None else []) + [
+        pltpu.VMEM((2,) + tuple(t.shape[1:]), t.dtype) for t in t0s  # dacc
+    ]
     outs = pl.pallas_call(
         kernel,
         grid=(T + hist,),
@@ -594,12 +627,9 @@ def _backward_mg(
         interpret=interpret,
     )(*inputs)
     dt0 = tuple(outs[:nf])
-    dc0 = outs[nf : 2 * nf]
-    dc1 = outs[2 * nf : 3 * nf]
-    dparams = tuple(outs[3 * nf : 3 * nf + np_])
-    zero_row = lambda a: jnp.concatenate([jnp.zeros_like(a[:1]), a[1:]])  # noqa: E731
-    dcoarse = tuple(a + zero_row(b) for a, b in zip(dc0, dc1))
-    pos = 3 * nf + np_
+    dcoarse = tuple(outs[nf : 2 * nf])
+    dparams = tuple(outs[2 * nf : 2 * nf + np_])
+    pos = 2 * nf + np_
     sums_out = outs[pos][0] if with_sums else None
     pos += 1 if with_sums else 0
     dwraps = tuple(outs[pos : pos + nf]) if emit_dwraps else None
@@ -641,19 +671,27 @@ def _bwd(row_fn, nterms, hist, f0s, interpret, saved, g):
 _rowwise_sumsq_mg.defvjp(_fwd, _bwd)
 
 
-MG_VMEM_LIMIT = 14 * 1024 * 1024
+# Calibration (v5e round 4): the estimate undercounts Mosaic's real
+# scoped-vmem allocation (stack temporaries) by ~4.3 MiB on the tiled
+# kernel; the flagship (65,256,256) nf=3 config estimates 11.375 MiB and
+# compiles close to the 16 MiB cap.  12 MiB keeps that config fused and
+# routes estimate>12 configs to the tiled/unfused fallbacks instead of
+# letting them hard-fail in the Mosaic compiler.
+MG_VMEM_LIMIT = 12 * 1024 * 1024
 
 
 def mg_vmem_estimate(t0_shapes, dtype, hist=1, nconsts=0):
     """Rough VMEM footprint of the scatter backward (the larger of the two
     mg passes): double-buffered in/out row blocks, the fine-row ring, the
-    cotangent accumulation ring, the wrap-cotangent scratch, resident wrap
-    rows, and resident consts.  Callers fall back to the un-fused paths
-    when this exceeds ``MG_VMEM_LIMIT`` (e.g. 512^2 planes)."""
+    cotangent accumulation ring, the wrap-cotangent scratch, the depth-2
+    blended coarse-cotangent ring (dacc: one down2d per coarse row),
+    resident wrap rows, and resident consts.  Callers fall back to the
+    un-fused paths when this exceeds ``MG_VMEM_LIMIT`` (e.g. 512^2
+    planes)."""
     itemsize = np.dtype(dtype).itemsize
     plane = int(t0_shapes[0][1]) * int(t0_shapes[0][2]) * itemsize
     quarter = plane // 4
-    per_field = plane * (2 + 2 + hist + hist + (hist + 1) + hist) + quarter * 8
+    per_field = plane * (2 + 2 + hist + hist + (hist + 1) + hist + 2) + quarter * 8
     return len(t0_shapes) * per_field + nconsts * plane
 
 

@@ -23,14 +23,23 @@ Per program (p, i) of a (nxt, T + hist) grid:
   into a depth-(hist+1) accumulation ring; cotangents of the halo x-rows
   are emitted raw as small (nxt, T, h, Y) per-offset edge outputs,
 - finalizes row t = i - hist: writes the interior t0 cotangent
-  (``f0 * dfine``) and the RAW widened coarse cotangent row
-  ``Wsub[p][h:h+W]^T @ dfine @ Wy`` -- the t-blend split into coarse rows
-  t//2 / t//2+1 and the tile-overlap fold both happen in a cheap XLA
-  epilogue (same linear algebra, reassociated).
+  (``f0 * dfine``) and accumulates the t-BLENDED fine cotangent in a
+  depth-2 ring (coarse row c collects rows 2c-1, 2c, 2c+1 with weights
+  .5, 1, .5); when row c closes (t = 2c+1, or T-1 for the last), ONE
+  widened coarse cotangent row ``Wsub[p][h:h+W]^T @ dacc[c] @ Wy`` is
+  written -- one down-projection and one dc output row per COARSE row
+  (half the matmul volume and dc traffic of the per-fine-row form);
+  the tile-overlap fold happens in a cheap XLA epilogue (same linear
+  algebra, reassociated).  The forward keeps one up-projection per FINE
+  row: a mirrored ring of prolonged coarse planes was built and measured
+  a wash-to-loss (the forward matmuls overlap with the block DMAs), and
+  stacking both rings overflows the 16 MiB scoped-vmem cap at W=128 --
+  W=64 both-rings: 5.05 ms/iter; W=128 forward-ring-only: 4.68; W=128
+  this form: 4.33; shipped round-3 form: 4.61 (all at (64,512,512)).
 
 The epilogue also pushes the edge cotangents through the *global*
 prolongation rows (t0 part and coarse part) -- tiny dense ops over
-``nxt * 2h`` x-rows.
+``nxt * 2h`` x-rows -- and t-blends the edge term to the coarse rows.
 """
 
 
@@ -96,6 +105,7 @@ def mg_tiled_supported(t0_shapes, dtype, hist=1, budget=11 * 1024 * 1024):
             + hist * wide           # fine ring
             + (hist + 1) * wplane   # accumulation ring
             + hist * wplane         # wrap-cotangent scratch
+            + 2 * wplane            # blended coarse-cotangent ring (dacc)
             + 2 * wplane            # dt0 out
             + 4 * cplane + 2 * (W // 2 + 2 * hc) * (Y // 2) * itemsize
             + hist * wide           # wrap residents
@@ -210,7 +220,9 @@ def _loss_and_grads_tiled(
         pos += nf if hist else 0
         acc_refs = refs[pos : pos + nf]
         pos += nf
-        wcot_refs = refs[pos:]
+        wcot_refs = refs[pos : pos + (nf if hist else 0)]
+        pos += nf if hist else 0
+        dacc_refs = refs[pos:]
 
         p, i = pl.program_id(0), pl.program_id(1)
         Wsub_v = wsub_ref[0]  # (W + 2h, Wc + 2hc)
@@ -319,20 +331,51 @@ def _loss_and_grads_tiled(
                 if hist:
                     ring_refs[f][i % hist] = fresh_rows[f]
 
-        # Finalize interior cotangent of row t = i - hist.
+        # Finalize interior cotangent of row t = i - hist.  The coarse
+        # part accumulates the t-BLENDED fine cotangent per coarse row
+        # (row c collects fine rows 2c-1, 2c, 2c+1 with weights .5, 1,
+        # .5; the t-blend moved ahead of the linear transposed
+        # prolongation) and down-projects ONCE per coarse row when it
+        # closes (t = 2c+1, or T-1 for the last row): one down2d per
+        # COARSE row and one dc output row per COARSE row; the tile fold
+        # stays in the XLA epilogue.
         @pl.when(i >= hist)
         def _():
+            t = i - hist
+            todd = t % 2 == 1
             for f in range(nf):
-                complete = acc_refs[f][(i - hist) % adepth]
+                complete = acc_refs[f][t % adepth]
                 if hist:
                     wrapc = wcot_refs[f][jnp.clip(i - T, 0, hist - 1)]
                     complete = jnp.where(i >= T, complete + wrapc, complete)
                 out_t0_refs[f][0] = f0s[f] * complete
-                # Raw widened coarse cotangent row; t-blend + tile fold in
-                # the XLA epilogue.  Split-operand exact dots as above.
-                out_dc_refs[f][0, 0] = _dot_wx(
-                    Wsub_v[h : h + W].T, _dot_xw(complete, Wy_v)
-                )
+
+                # Even t: weight-1 contribution to coarse row t//2 (t == 0
+                # initializes; the where discards the uninit read).
+                @pl.when(~todd)
+                def _(f=f, complete=complete):
+                    slot = (t // 2) % 2
+                    prev = jnp.where(
+                        t == 0, jnp.zeros_like(complete), dacc_refs[f][slot]
+                    )
+                    dacc_refs[f][slot] = prev + complete
+
+                # Odd t: .5 to coarse row (t-1)//2 (its last contribution)
+                # and .5 OPENS row (t+1)//2 (assignment initializes).
+                @pl.when(todd)
+                def _(f=f, complete=complete):
+                    dacc_refs[f][((t - 1) // 2) % 2] += 0.5 * complete
+                    dacc_refs[f][((t + 1) // 2) % 2] = 0.5 * complete
+
+                closing = todd | (t == T - 1)
+
+                @pl.when(closing)
+                def _(f=f):
+                    c = jnp.where(todd, (t - 1) // 2, t // 2)
+                    # Split-operand exact dots as above.
+                    out_dc_refs[f][0, 0] = _dot_wx(
+                        Wsub_v[h : h + W].T, _dot_xw(dacc_refs[f][c % 2], Wy_v)
+                    )
 
     in_specs = []
     inputs = []
@@ -362,12 +405,13 @@ def _loss_and_grads_tiled(
     edge_spec = pl.BlockSpec(
         (1, 1, h, Y), lambda p, i: (p, jnp.minimum(i, T - 1), 0, 0)
     )
-    dc_shape = (nxt, T, Wc + 2 * hc, CY)
+    dc_shape = (nxt, Tc, Wc + 2 * hc, CY)
     out_specs = (
         [pl.BlockSpec((1, W, Y), lambda p, i: ((i - hist) % T, p, 0)) for _ in range(nf)]
         + [
             pl.BlockSpec(
-                (1, 1, Wc + 2 * hc, CY), lambda p, i: (p, (i - hist) % T, 0, 0)
+                (1, 1, Wc + 2 * hc, CY),
+                lambda p, i: (p, jnp.clip((i - hist) // 2, 0, Tc - 1), 0, 0),
             )
             for _ in range(nf)
         ]
@@ -388,6 +432,7 @@ def _loss_and_grads_tiled(
         [pltpu.VMEM((hist, W + 2 * h, Y), dtype) for _ in (t0s if hist else ())]
         + [pltpu.VMEM((adepth, W, Y), dtype) for _ in t0s]
         + [pltpu.VMEM((hist, W, Y), dtype) for _ in (t0s if hist else ())]
+        + [pltpu.VMEM((2, W, Y), dtype) for _ in t0s]  # dacc
     )
     outs = pl.pallas_call(
         kernel,
@@ -448,22 +493,31 @@ def _loss_and_grads_tiled(
         )
         dt0[f] = (dt0[f].reshape(T, nxt, W, Y) + f0s[f] * upd).reshape(T, X, Y)
 
-    # 3. Coarse cotangent: t-blend the raw rows (row t feeds coarse rows
-    #    t//2 with weight 1-wt and t//2+1 with wt; wt = .5 for odd t),
-    #    then fold the widened tile windows (periodic) into the full
-    #    coarse plane, plus the edge rows through the global matrix.
+    # 3. Coarse cotangent: the kernel already t-blended the interior rows
+    #    (dc holds one row per COARSE row); fold the widened tile windows
+    #    (periodic) into the full coarse plane, then add the edge rows
+    #    pushed through the global matrix (t-blended here).
     Wx_t = jnp.asarray(Wx_np.astype(dtype))
     W_edge = Wx_t[edge_rows]  # (nxt*2h, CX)
     dcoarse = []
     assert 2 * hc <= Wc
+    zeros_row = jnp.zeros((1, CX, CY), dtype)
     for f in range(nf):
-        dc = dcs[f]  # (nxt, T, Wc + 2hc, CY)
+        dc = dcs[f]  # (nxt, Tc, Wc + 2hc, CY)
         # Edge-row coarse contribution at full width, per fine row t.
         dc_edge = jnp.einsum(
             "re,tey,yc->trc", W_edge.T, efine[f].reshape(T, nxt * 2 * h, Y), Wy
         )
         # (T, CX, CY): W_edge.T is (CX, nxt*2h); Wy restricts Y -> CY.
-        # Fold the widened tile windows into the (T, nxt, Wc, CY) tile
+        # t-blend the edge term: edge_b[c] = e[2c] + .5*(e[2c-1] + e[2c+1]).
+        ev = dc_edge[0::2]  # (Tc, CX, CY)
+        odd = dc_edge[1::2]  # (Tc - 1, ...)
+        edge_b = (
+            ev
+            + 0.5 * jnp.concatenate([zeros_row, odd], axis=0)
+            + 0.5 * jnp.concatenate([odd, zeros_row], axis=0)
+        )
+        # Fold the widened tile windows into the (Tc, nxt, Wc, CY) tile
         # view with static rolls + one concat + add (see the dt0 fold
         # above): window p's core [hc, hc+Wc) lands on its own tile, its
         # left hc columns on the last hc of tile p-1, its right hc on the
@@ -475,19 +529,10 @@ def _loss_and_grads_tiled(
             jnp.transpose(dc[:, :, hc + Wc :], (1, 0, 2, 3)), 1, axis=1
         )
         upd = jnp.concatenate(
-            [to_first, jnp.zeros((T, nxt, Wc - 2 * hc, CY), dtype), to_last],
+            [to_first, jnp.zeros((Tc, nxt, Wc - 2 * hc, CY), dtype), to_last],
             axis=2,
         )
-        full = (core + upd).reshape(T, CX, CY) + dc_edge
-        # t-blend: dcoarse[c] = full[2c] + .5*(full[2c-1] + full[2c+1]).
-        ev = full[0::2]  # (Tc, CX, CY)
-        odd = full[1::2]  # (Tc - 1, ...)
-        zeros = jnp.zeros((1, CX, CY), dtype)
-        dcoarse.append(
-            ev
-            + 0.5 * jnp.concatenate([zeros, odd], axis=0)
-            + 0.5 * jnp.concatenate([odd, zeros], axis=0)
-        )
+        dcoarse.append((core + upd).reshape(Tc, CX, CY) + edge_b)
     return sums, tuple(dt0), tuple(dcoarse), dparams
 
 

@@ -80,11 +80,21 @@ if backend_name == "jax":
     # Persistent compilation cache: TPU compiles of the scanned training
     # loops take minutes; cache them across processes.  TPU-only (CPU AOT
     # entries are machine-feature-sensitive).  Disable with
-    # ODIL_COMPILE_CACHE=''.
+    # ODIL_COMPILE_CACHE=''.  The platform test reads the CONFIGURED
+    # platform string, never jax.default_backend(): probing the backend
+    # at import would initialize XLA and break any later
+    # jax.distributed.initialize() (multi-host processes import odil
+    # first, then connect).  Auto-detected platforms (JAX_PLATFORMS
+    # unset) skip the cache setup.
     _cache_dir = os.environ.get("ODIL_COMPILE_CACHE", os.path.expanduser("~/.cache/odil_tpu_xla"))
     if _cache_dir:
         try:
-            if jax.default_backend() == "tpu":
+            _plats = str(
+                getattr(jax.config, "jax_platforms", None)
+                or os.environ.get("JAX_PLATFORMS", "")
+                or ""
+            ).lower()
+            if "tpu" in _plats or "axon" in _plats:
                 os.makedirs(_cache_dir, exist_ok=True)
                 jax.config.update("jax_compilation_cache_dir", _cache_dir)
                 jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
