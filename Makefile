@@ -12,4 +12,15 @@ bench:
 benchmarks:
 	$(PYTHON) benchmarks/run_benchmarks.py
 
-.PHONY: test test_matrix bench benchmarks
+# Lint gate: ruff when available (CI installs it), otherwise a syntax
+# compile over every tracked source so the target still catches breakage
+# in environments without lint tooling.
+lint:
+	@if $(PYTHON) -m ruff --version >/dev/null 2>&1; then \
+		$(PYTHON) -m ruff check .; \
+	else \
+		echo "ruff not installed; falling back to compileall syntax gate"; \
+		$(PYTHON) -m compileall -q odil_tpu odil examples tests tests_tpu benchmarks tools bench.py __graft_entry__.py; \
+	fi
+
+.PHONY: test test_matrix bench benchmarks lint
