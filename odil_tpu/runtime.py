@@ -59,7 +59,22 @@ backend_name = os.environ.get("ODIL_BACKEND", "") or "jax"
 # Kept for compatibility with scripts that check `runtime.enable_gpu`.
 enable_gpu = os.environ.get("CUDA_VISIBLE_DEVICES", "") not in ["", "-1"]
 
-tf = None  # The TensorFlow backend is intentionally not supported.
+# The TensorFlow BACKEND is intentionally not supported (JAX is the only
+# compute backend), but reference example scripts use small host-side TF
+# idioms (``from odil.runtime import tf`` for tape gradients / a
+# @tf.function decorator).  ``runtime.tf`` resolves LAZILY (PEP 562 —
+# importing TensorFlow costs ~10 s, far too much for every framework
+# import) to real TensorFlow when installed, else to the eager shim that
+# covers exactly that script surface (tf_shim.py).
+def __getattr__(name):
+    if name == "tf":
+        try:
+            import tensorflow as _tf
+        except ImportError:
+            from . import tf_shim as _tf
+        globals()["tf"] = _tf
+        return _tf
+    raise AttributeError(f"module 'odil_tpu.runtime' has no attribute '{name}'")
 
 dtype_name = os.environ.get("ODIL_DTYPE", "float32")
 if dtype_name not in ("float32", "float64"):
