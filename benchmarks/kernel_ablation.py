@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Attributes the fused MG one-pass loss+grad cost (VERDICT r4 item 3:
+"compute-bound has no measured headroom number") by component ablation, and
+prices the candidate precision cuts of item 2.
+
+Variants (each timed as the FULL one-pass loss+grad route -- the same
+scanned-chain methodology as rescache_ablation.py / roofline.py):
+
+  full         as shipped (real row function, split-operand exact dots)
+  trivial-row  row function replaced by a minimal one that still touches
+               every input plane and emits nterms terms: the delta bounds
+               ALL row-function math (forward + in-kernel vjp + scatter
+               cotangent arithmetic) -- no hand-written adjoint can save
+               more than this
+  no-matmul    _up2d/_down2d replaced by concat/slice stand-ins (same
+               shapes, no MXU work): bounds the in-kernel ladder matmuls
+  raw-bwd      _down2d at raw MXU precision (1 pass instead of the 3-pass
+               split-operand dot): the price of keeping the backward
+               cotangent projection split-exact, candidate for selective
+               lowering (gradient-only rounding; forward stays exact)
+  raw-both     _up2d and _down2d raw: the full in-kernel precision tax
+
+The ablated variants compute WRONG results; this is a pricing tool.
+
+Run on the TPU:  python benchmarks/kernel_ablation.py [--nx 256]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.abspath(os.path.join(os.path.dirname(__file__), "..")))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--nt", type=int, default=64)
+    parser.add_argument("--nx", type=int, default=256)
+    parser.add_argument("--length", type=int, default=200)
+    parser.add_argument("--reps", type=int, default=5)
+    parser.add_argument("--variants", type=str, default="",
+                        help="comma-separated subset (default: all)")
+    args = parser.parse_args()
+
+    from odil_tpu.models import veltracer as vt
+    from odil_tpu.ops import rowwise_mg
+
+    def measure(label):
+        problem, state, _ = vt.build(
+            nt=args.nt, nx=args.nx, ny=args.nx, kernel="pallas_mg",
+            multigrid=True, dtype=np.float32,
+        )
+        grad_fn = problem.make_loss_grad_fn(state)
+        assert grad_fn is not None, "one-pass route declined"
+        _, arrays = problem.make_loss_fn(state)
+        x0 = [jnp.asarray(a) for a in arrays]
+
+        def step(carry, _):
+            x, t = carry
+            (loss, _), g = grad_fn(x, {"epoch": t})
+            return ([xi - 1e-30 * gi for xi, gi in zip(x, g)], t + 1), loss
+
+        run = jax.jit(lambda c: jax.lax.scan(step, c, None, length=args.length))
+        carry = (x0, jnp.asarray(0, jnp.int32))
+        carry, out = run(carry)
+        jax.block_until_ready(out)
+        float(np.asarray(out)[-1])  # drain (axon-ready-before-done trap)
+        times = []
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            carry, out = run(carry)
+            float(np.asarray(out)[-1])
+            times.append((time.perf_counter() - t0) / args.length)
+        dt = float(np.median(times))
+        print(f"{label}: {dt * 1e3:.4f} ms/iter  "
+              f"reps={[round(t * 1e3, 4) for t in times]}", flush=True)
+        return dt
+
+    nterms = 6
+
+    def trivial_row_fn(it, T, rows, data_rows, params, consts_v):
+        s = None
+        for r in rows:
+            for p in r:
+                s = p if s is None else s + p
+        for c in consts_v:
+            s = s + c
+        return tuple(s * (0.1 * (k + 1)) for k in range(nterms))
+
+    def up2d_nomm(c, Wx, Wy):
+        return jnp.concatenate([jnp.concatenate([c, c], axis=0)] * 2, axis=1)
+
+    def down2d_nomm(d, Wx, Wy):
+        return d[: d.shape[0] // 2, : d.shape[1] // 2] * 1.0
+
+    def up2d_raw(c, Wx, Wy):
+        return jnp.dot(Wx, jnp.dot(c, Wy.T, precision=jax.lax.Precision.DEFAULT),
+                       precision=jax.lax.Precision.DEFAULT)
+
+    def down2d_raw(d, Wx, Wy):
+        return jnp.dot(Wx.T, jnp.dot(d, Wy, precision=jax.lax.Precision.DEFAULT),
+                       precision=jax.lax.Precision.DEFAULT)
+
+    base_up, base_down = rowwise_mg._up2d, rowwise_mg._down2d
+    base_rowfn = vt._make_row_fn
+
+    variants = {
+        "full": dict(),
+        "trivial-row": dict(rf=True),
+        "no-matmul": dict(up=up2d_nomm, down=down2d_nomm),
+        "raw-bwd": dict(down=down2d_raw),
+        "raw-both": dict(up=up2d_raw, down=down2d_raw),
+    }
+    if args.variants:
+        sel = args.variants.split(",")
+        variants = {k: v for k, v in variants.items() if k in sel}
+
+    results = {}
+    for name, cfg in variants.items():
+        rowwise_mg._up2d = cfg.get("up", base_up)
+        rowwise_mg._down2d = cfg.get("down", base_down)
+        if cfg.get("rf"):
+            vt._make_row_fn = lambda *a, **k: trivial_row_fn
+        try:
+            results[name] = measure(name)
+        finally:
+            rowwise_mg._up2d = base_up
+            rowwise_mg._down2d = base_down
+            vt._make_row_fn = base_rowfn
+
+    out = {"shape": [args.nt, args.nx, args.nx], "length": args.length,
+           "ms_per_iter": {k: round(v * 1e3, 4) for k, v in results.items()}}
+    if "full" in results:
+        f = results["full"]
+        for k, label in (("trivial-row", "row_math_bound_ms"),
+                         ("no-matmul", "in_kernel_matmul_bound_ms"),
+                         ("raw-bwd", "raw_bwd_saving_ms"),
+                         ("raw-both", "raw_both_saving_ms")):
+            if k in results:
+                out[label] = round((f - results[k]) * 1e3, 4)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    main()
