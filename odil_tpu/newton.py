@@ -572,10 +572,15 @@ def optimize_gauss_newton(args, problem, state, callback=None, **kwargs):
                 )
             )
     if not (use_bpx or use_vcycle) and use_jacobi:
+        # Unrolled in the jitted step: each probe adds a transposed residual
+        # evaluation to the graph, which dominates GSPMD-partitioning time
+        # on wide meshes — override via --gn_nprobe when compile time
+        # matters more than diagonal-estimate variance.
+        nprobe = int(getattr(args, "gn_nprobe", 0) or 8)
 
         @jax.jit
         def step(x, pstate, key):
-            diag = estimate_normal_diag(f, x, key, nprobe=8)
+            diag = estimate_normal_diag(f, x, key, nprobe=nprobe)
             return gauss_newton_step(
                 f, x, damp=damp, dampdiag=dampdiag, tol=tol, maxiter=maxiter,
                 precond_diag=diag, term_sizes=sizes,
