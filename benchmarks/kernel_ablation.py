@@ -47,7 +47,12 @@ def main():
     parser.add_argument("--reps", type=int, default=5)
     parser.add_argument("--variants", type=str, default="",
                         help="comma-separated subset (default: all)")
+    parser.add_argument("--cpu", action="store_true",
+                        help="force the CPU backend (interpret-mode kernels; "
+                             "sanity only -- the sandbox pins JAX_PLATFORMS)")
     args = parser.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from odil_tpu.models import veltracer as vt
     from odil_tpu.ops import rowwise_mg
@@ -84,6 +89,58 @@ def main():
         return dt
 
     nterms = 6
+
+    def measure_kernel_only(label, use_raw_down=False):
+        """Times the mg one-pass KERNEL alone on precomputed partials --
+        no XLA prologue (coarse Horner ladder), no epilogue (deeper-level
+        transposes), no state update: the delta against the full route
+        prices those XLA stages."""
+        import jax.numpy as jnp
+
+        problem, state, extra = vt.build(
+            nt=args.nt, nx=args.nx, ny=args.nx, kernel="pallas_mg",
+            multigrid=True, dtype=np.float32,
+        )
+        domain = problem.domain
+        _, arrays = problem.make_loss_fn(state)
+        domain.arrays_to_state([jnp.asarray(a) for a in arrays], state)
+        partial = {}
+        problem._flatten_multigrid_batched(state, partial_out=partial)
+        keys = ("u", "vx", "vy")
+        t0s = tuple(jnp.asarray(partial[k][0]) for k in keys)
+        f0s = tuple(float(partial[k][1]) for k in keys)
+        coarse = tuple(jnp.asarray(partial[k][2]) for k in keys)
+        a = extra.args
+        dt, dx, dy = map(float, domain.step())
+        rf = vt._make_row_fn(domain.mod, dt, dx, dy, a.kimp, a.kxreg, a.ktreg)
+        consts = (jnp.asarray(extra.u_init), jnp.asarray(extra.u_final))
+
+        def step(carry, _):
+            t0s_c, coarse_c = carry
+            terms, (dt0, dcoarse, _) = rowwise_mg.rowwise_mg_loss_and_grads(
+                rf, t0s=t0s_c, coarse=coarse_c, factors0=f0s,
+                consts=consts, nterms=nterms, hist=1,
+            )
+            return (
+                tuple(t - 1e-30 * d for t, d in zip(t0s_c, dt0)),
+                tuple(c - 1e-30 * d for c, d in zip(coarse_c, dcoarse)),
+            ), sum(terms)
+
+        run = jax.jit(lambda c: jax.lax.scan(step, c, None, length=args.length))
+        carry = (t0s, coarse)
+        carry, out = run(carry)
+        jax.block_until_ready(out)
+        float(np.asarray(out)[-1])
+        times = []
+        for _ in range(args.reps):
+            t0c = time.perf_counter()
+            carry, out = run(carry)
+            float(np.asarray(out)[-1])
+            times.append((time.perf_counter() - t0c) / args.length)
+        dtm = float(np.median(times))
+        print(f"{label}: {dtm * 1e3:.4f} ms/iter  "
+              f"reps={[round(t * 1e3, 4) for t in times]}", flush=True)
+        return dtm
 
     def trivial_row_fn(it, T, rows, data_rows, params, consts_v):
         s = None
@@ -123,6 +180,8 @@ def main():
         variants = {k: v for k, v in variants.items() if k in sel}
 
     results = {}
+    if not args.variants or "kernel-only" in args.variants.split(","):
+        results["kernel-only"] = measure_kernel_only("kernel-only")
     for name, cfg in variants.items():
         rowwise_mg._up2d = cfg.get("up", base_up)
         rowwise_mg._down2d = cfg.get("down", base_down)
@@ -142,7 +201,8 @@ def main():
         for k, label in (("trivial-row", "row_math_bound_ms"),
                          ("no-matmul", "in_kernel_matmul_bound_ms"),
                          ("raw-bwd", "raw_bwd_saving_ms"),
-                         ("raw-both", "raw_both_saving_ms")):
+                         ("raw-both", "raw_both_saving_ms"),
+                         ("kernel-only", "xla_prologue_epilogue_ms")):
             if k in results:
                 out[label] = round((f - results[k]) * 1e3, 4)
     print(json.dumps(out, indent=1))

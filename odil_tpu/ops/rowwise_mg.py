@@ -48,6 +48,7 @@ Grid-shaped `data` and broadcast `params`/`consts` groups behave as in
 ``src/odil/core.py:245-263`` (multigrid_to_regular).
 """
 
+import os
 from functools import partial
 
 import jax
@@ -82,7 +83,19 @@ def _up2d(c, Wx, Wy):
     return _dot_wx(Wx, _dot_xw(c, Wy.T))
 
 
+# Backward-dot precision: the cotangent down-projection (_down2d) touches
+# only GRADIENTS, so its rounding never biases the residuals.  "split"
+# (default) keeps the 3-pass split-operand exact dot; "raw" runs one bf16
+# MXU pass per dot (relative rounding ~2^-9 on dcoarse).  Priced and
+# trajectory-gated in BENCH_NOTES.md round 5.
+_BWD_DOT = os.environ.get("ODIL_MG_BWD_DOT", "split")
+
+
 def _down2d(d, Wx, Wy):
+    """Transposed 2D prolongation Wx^T @ (d @ Wy) (cotangent projection)."""
+    if _BWD_DOT == "raw":
+        p = jax.lax.Precision.DEFAULT
+        return jnp.dot(Wx.T, jnp.dot(d, Wy, precision=p), precision=p)
     return _dot_wx(Wx.T, _dot_xw(d, Wy))
 
 

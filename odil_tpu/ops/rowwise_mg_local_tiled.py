@@ -51,6 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import rowwise_mg as _mg
 from .rowwise import _sumsq_vec, _weights_of
 from .rowwise_tiled import _pad_x_edge
 
@@ -403,7 +404,10 @@ def _loss_and_grads_local_tiled(
                 c0w = c_refs[2 * f][0, 0]
                 c1w = c_refs[2 * f + 1][0, 0]
                 cblend = (1.0 - wt) * c0w + wt * c1w  # (Wcv, CY)
-                fresh = f0s[f] * t0_w + Wsub_v @ (cblend @ Wy_v.T)
+                # Split-operand exact dots (3 raw passes, fp32-grade): the
+                # plain @ would run at the global HIGHEST default (6
+                # passes) inside the kernel; see transfer.dot_xw.
+                fresh = f0s[f] * t0_w + _mg._up2d(cblend, Wsub_v, Wy_v)
                 fresh_rows.append(fresh)
                 frows = [fresh]
                 for m in range(1, hist + 1):
@@ -467,7 +471,11 @@ def _loss_and_grads_local_tiled(
             for f in range(nf):
                 complete = acc_refs[f][(i - hist) % adepth]
                 out_t0_refs[f][0] = f0s[f] * complete
-                out_dc_refs[f][0, 0] = Wsub_v[h : h + W].T @ (complete @ Wy_v)
+                # Routed through rowwise_mg._down2d: split-exact by
+                # default, raw under the ODIL_MG_BWD_DOT=raw knob.
+                out_dc_refs[f][0, 0] = _mg._down2d(
+                    complete, Wsub_v[h : h + W], Wy_v
+                )
 
     in_specs = []
     inputs = []

@@ -52,6 +52,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..transfer import _interp_matrix
 from .rowwise import _sumsq_vec, _weights_of
+from . import rowwise_mg as _mg
 from .rowwise_mg import _dot_wx, _dot_xw, _recon_rows_xla
 
 __all__ = ["rowwise_mg_tiled_loss_and_grads", "mg_tiled_supported"]
@@ -373,8 +374,11 @@ def _loss_and_grads_tiled(
                 def _(f=f):
                     c = jnp.where(todd, (t - 1) // 2, t // 2)
                     # Split-operand exact dots as above.
-                    out_dc_refs[f][0, 0] = _dot_wx(
-                        Wsub_v[h : h + W].T, _dot_xw(dacc_refs[f][c % 2], Wy_v)
+                    # Cotangent down-projection: routed through
+                    # rowwise_mg._down2d so the ODIL_MG_BWD_DOT precision
+                    # knob (and test hooks on that module) apply here too.
+                    out_dc_refs[f][0, 0] = _mg._down2d(
+                        dacc_refs[f][c % 2], Wsub_v[h : h + W], Wy_v
                     )
 
     in_specs = []

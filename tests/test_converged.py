@@ -62,20 +62,23 @@ CONVERGED_CASES = [
     ),
     (
         # heat inverse-conductivity 64^2, Adam fp32, stripe measurements,
-        # 1500 epochs; ref final loss 0.0067, error_u 0.0396, error_k 0.404;
-        # ours at the lane's pinned default seed: 0.0137 / 0.0560 / 0.392
-        # (ratios 2.05 / 1.41 / 0.97).  The problem itself is strongly
-        # seed-sensitive -- benchmarks/seed_spread.py measured a 5.5x loss
-        # spread over 5 seeds (docs/parity_data/README.md) -- but the lane
-        # runs ONE pinned seed deterministically, so the margins are the
-        # pinned-seed ratio + ~25% numerics headroom, not the RNG spread.
+        # 1500 epochs.  Gated against the REFERENCE'S SEED-ENSEMBLE MEDIAN
+        # (docs/parity_data/ref_heat_seeds.csv: the unmodified reference at
+        # seeds {0,1,2,3,4,1000}, loss median 0.0129, error_u 0.0576,
+        # error_k 0.366), not the single seed-1000 final (0.0067) -- the
+        # round-5 sweep showed seed 1000 is the reference's BEST basin of
+        # six (5/6 of its seeds land in loss [0.0118, 0.0188]), so the old
+        # 2.05x "gap" at the pinned seed was reference-side seed luck, not
+        # a numerics deficit.  Ours at the pinned seed: loss 0.0137
+        # (1.06x the ensemble median), error_u 0.0560 (0.97x), error_k
+        # 0.392 (1.07x); margins are those ratios + numerics headroom.
         "heat_inverse",
         "heat",
         "heat",
         ["--Nt", "64", "--Nx", "64", "--epochs", "1500", "--history_every", "100",
          "--infer_k", "1", "--imposed", "stripe"],
-        "ref_heat_inv.csv",
-        {"loss": 2.6, "error_u": 1.8, "error_k": 1.25},
+        "ref_heat_seeds.csv:median",
+        {"loss": 1.5, "error_u": 1.3, "error_k": 1.25},
     ),
     (
         # infer_constant 64^2 L-BFGS-B fp64, 100 epochs; round-1 measured
@@ -102,15 +105,35 @@ def read_csv(path):
     "case,subdir,module,argv,refcsv,margins", CONVERGED_CASES, ids=IDS
 )
 def test_converged_accuracy(case, subdir, module, argv, refcsv, margins):
+    # "<file>:median": gate against the per-column MEDIAN of a reference
+    # seed-ensemble file (one row per seed) instead of a single run's
+    # final history row.
+    refcsv, _, mode = refcsv.partition(":")
     ref_rows = read_csv(os.path.join(PARITY_DIR, refcsv))
-    ref_final = ref_rows[-1]
+    if mode == "median":
+        import statistics
+
+        ref_final = {
+            c: statistics.median(abs(float(r[c])) for r in ref_rows)
+            for c in margins
+        }
+    else:
+        ref_final = ref_rows[-1]
     problem, state, out = run_example(subdir, module, argv)
     rows = read_csv(os.path.join(out, "train.csv"))
-    assert int(float(rows[-1]["epoch"])) == int(float(ref_final["epoch"])), (
-        "run did not reach the reference's final epoch",
-        rows[-1]["epoch"],
-        ref_final["epoch"],
-    )
+    if mode == "median":
+        want_epoch = int(argv[argv.index("--epochs") + 1])
+        assert int(float(rows[-1]["epoch"])) == want_epoch, (
+            "run did not reach the canonical epoch count",
+            rows[-1]["epoch"],
+            want_epoch,
+        )
+    else:
+        assert int(float(rows[-1]["epoch"])) == int(float(ref_final["epoch"])), (
+            "run did not reach the reference's final epoch",
+            rows[-1]["epoch"],
+            ref_final["epoch"],
+        )
     for col, factor in margins.items():
         ref_val = abs(float(ref_final[col]))
         # The Adam trajectories oscillate row-to-row at the canonical

@@ -116,12 +116,16 @@ CONVERGED_SCRIPT_CASES = [
         {"error_u": 1.3, "loss": 1.6},
     ),
     (
+        # Gated on the reference's seed-ensemble median (see
+        # tests/test_converged.py heat_inverse for the round-5 sweep data:
+        # the single archived seed-1000 final is the reference's best basin
+        # of six seeds).
         "heat_inverse",
         "heat/heat.py",
         ["--Nt", "64", "--Nx", "64", "--epochs", "1500", "--history_every", "100",
          "--infer_k", "1", "--imposed", "stripe"],
-        "ref_heat_inv.csv",
-        {"loss": 2.6, "error_u": 1.8, "error_k": 1.25},
+        "ref_heat_seeds.csv:median",
+        {"loss": 1.5, "error_u": 1.3, "error_k": 1.25},
     ),
     (
         "infer_constant",
@@ -141,11 +145,24 @@ CONVERGED_SCRIPT_CASES = [
     ids=[c[0] for c in CONVERGED_SCRIPT_CASES],
 )
 def test_reference_script_converged(case, relpath, argv, refcsv, margins):
+    # "<file>:median" gates against the per-column median of a reference
+    # seed-ensemble file (one row per seed); see tests/test_converged.py.
+    refcsv, _, mode = refcsv.partition(":")
     with open(os.path.join(PARITY_DIR, refcsv)) as f:
         ref_rows = list(csv.DictReader(f))
-    ref_final = ref_rows[-1]
+    if mode == "median":
+        import statistics
+
+        ref_final = {
+            c: statistics.median(abs(float(r[c])) for r in ref_rows)
+            for c in margins
+        }
+        want_epoch = int(argv[argv.index("--epochs") + 1])
+    else:
+        ref_final = ref_rows[-1]
+        want_epoch = int(float(ref_final["epoch"]))
     rows = run_reference_script(relpath, argv + QUIET, timeout=3600)
-    assert int(float(rows[-1]["epoch"])) == int(float(ref_final["epoch"]))
+    assert int(float(rows[-1]["epoch"])) == want_epoch
     for col, factor in margins.items():
         ref_val = abs(float(ref_final[col]))
         got = min(abs(float(r[col])) for r in rows[-3:])
