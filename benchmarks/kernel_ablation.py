@@ -142,6 +142,109 @@ def main():
               f"reps={[round(t * 1e3, 4) for t in times]}", flush=True)
         return dtm
 
+    def measure_vpu():
+        """VPU-utilization attribution of the row math (VERDICT r4 item 3:
+        '"compute-bound" has no measured headroom number').
+
+        (a) Empirical VPU ceiling: a Pallas chain doing K register FMAs
+            per element on (1, nx, nx) fp32 blocks -- same plane-blocked
+            streaming as the kernels, arithmetic intensity 2K/8 flop/byte
+            (K=128: 32 f/B, far past the HBM knee), so the measured
+            FLOP/s is the achievable VPU rate for this access pattern.
+        (b) Row-math FLOPs: XLA cost analysis of the vmapped-per-row
+            forward + sumsq + vjp of the REAL row function over the full
+            (T, nx, nx) grid -- the same work the one-pass kernel does
+            per fine row, without the ladder matmuls or DMA machinery.
+        Sustained row-math FLOP/s = (b) / the ablation's row-math time
+        bound (full - trivial-row); utilization = that over (a)."""
+        import jax.numpy as jnp
+        from jax.experimental import pallas as pl
+
+        T = args.nt + 1
+        K = 128
+
+        def fma_kernel(x_ref, o_ref):
+            x = x_ref[...]
+            a = jnp.float32(1.0000001)
+            b = jnp.float32(1e-7)
+            for _ in range(K):
+                x = x * a + b
+            o_ref[...] = x
+
+        spec = pl.BlockSpec((1, args.nx, args.nx), lambda i: (i, 0, 0))
+        fma = pl.pallas_call(
+            fma_kernel, grid=(T,), in_specs=[spec], out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct((T, args.nx, args.nx), jnp.float32),
+        )
+        run = jax.jit(
+            lambda c: jax.lax.scan(lambda x, _: (fma(x), x[0, 0, 0]), c, None,
+                                   length=args.length)
+        )
+        carry = jnp.asarray(np.random.rand(T, args.nx, args.nx), jnp.float32)
+        carry, out = run(carry)
+        jax.block_until_ready(out)
+        float(np.asarray(out)[-1])
+        times = []
+        for _ in range(args.reps):
+            t0c = time.perf_counter()
+            carry, out = run(carry)
+            float(np.asarray(out)[-1])
+            times.append((time.perf_counter() - t0c) / args.length)
+        dt_fma = float(np.median(times))
+        cells = T * args.nx * args.nx
+        ceiling_tflops = 2 * K * cells / dt_fma / 1e12
+        print(f"vpu-ceiling: {dt_fma * 1e3:.4f} ms/iter = "
+              f"{ceiling_tflops:.2f} TFLOP/s", flush=True)
+
+        problem, state, extra = vt.build(
+            nt=args.nt, nx=args.nx, ny=args.nx, kernel="pallas_mg",
+            multigrid=True, dtype=np.float32,
+        )
+        domain = problem.domain
+        a = extra.args
+        dt, dx, dy = map(float, domain.step())
+        rf = vt._make_row_fn(domain.mod, dt, dx, dy, a.kimp, a.kxreg, a.ktreg)
+        consts = (jnp.asarray(extra.u_init), jnp.asarray(extra.u_final))
+
+        def row_work(planes):
+            # One row's work, vmapped over all T rows: forward residuals,
+            # per-term sum-of-squares, and the vjp with the real
+            # weight-scaled cotangents -- the kernel's per-row recipe
+            # (ops/rowwise_mg.py backward) minus ladder/DMA machinery.
+            prev = tuple(jnp.roll(p, 1, axis=0) for p in planes)
+
+            def one(i, cur3, prev3):
+                flat = (cur3[0], prev3[0], cur3[1], prev3[1], cur3[2], prev3[2])
+
+                def f(*fl):
+                    rws = ((fl[0], fl[1]), (fl[2], fl[3]), (fl[4], fl[5]))
+                    return tuple(rf(i, T, rws, (), (), consts))
+
+                res, vjp = jax.vjp(f, *flat)
+                sums = tuple(jnp.sum(jnp.square(t)) for t in res)
+                cots = vjp(tuple(2.0 * t for t in res))
+                return sums, cots
+
+            sums, cots = jax.vmap(one)(
+                jnp.arange(T), jnp.stack(planes, 1), jnp.stack(prev, 1)
+            )
+            return sum(jnp.sum(s) for s in sums) + sum(
+                jnp.sum(c) for c in cots
+            )
+
+        planes0 = tuple(
+            jnp.asarray(np.random.rand(T, args.nx, args.nx), jnp.float32)
+            for _ in range(3)
+        )
+        lowered = jax.jit(row_work).lower(planes0).compile()
+        ca = lowered.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        row_flops = float(ca.get("flops", float("nan")))
+        print(f"row-math flops (cost analysis): {row_flops / 1e9:.3f} G/eval",
+              flush=True)
+        return {"vpu_ceiling_tflops": round(ceiling_tflops, 2),
+                "row_math_gflops_per_eval": round(row_flops / 1e9, 3)}
+
     def trivial_row_fn(it, T, rows, data_rows, params, consts_v):
         s = None
         for r in rows:
@@ -194,6 +297,10 @@ def main():
             rowwise_mg._down2d = base_down
             vt._make_row_fn = base_rowfn
 
+    vpu_stats = None
+    if args.variants and "vpu" in args.variants.split(","):
+        vpu_stats = measure_vpu()
+
     out = {"shape": [args.nt, args.nx, args.nx], "length": args.length,
            "ms_per_iter": {k: round(v * 1e3, 4) for k, v in results.items()}}
     if "full" in results:
@@ -205,6 +312,15 @@ def main():
                          ("kernel-only", "xla_prologue_epilogue_ms")):
             if k in results:
                 out[label] = round((f - results[k]) * 1e3, 4)
+    if vpu_stats:
+        out.update(vpu_stats)
+        bound_ms = out.get("row_math_bound_ms")
+        if bound_ms and bound_ms > 0:
+            sustained = vpu_stats["row_math_gflops_per_eval"] / bound_ms / 1e3
+            out["row_math_sustained_tflops"] = round(sustained, 2)
+            out["row_math_pct_of_vpu_ceiling"] = round(
+                100 * sustained / vpu_stats["vpu_ceiling_tflops"], 1
+            )
     print(json.dumps(out, indent=1))
 
 

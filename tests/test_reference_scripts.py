@@ -135,6 +135,30 @@ CONVERGED_SCRIPT_CASES = [
         "ref_infconst.csv",
         {"norm_0": 1.1, "c_diff": 1.1, "c_src": 1.1, "c_vel": 1.1},
     ),
+    (
+        # Reference heat_tmax canonical (its run script: 64^2 fp64
+        # multigrid lbfgsb, 4000 epochs); archive from the round-5
+        # reference run (loss 5.55e-11, tmax 4.4976, true 4.5).  Both
+        # sides converge below physical tolerance; margins as in
+        # tests/test_converged.py heat_tmax_default_lbfgs.
+        "heat_tmax",
+        "heat_tmax/heat_tmax.py",
+        ["--Nt", "64", "--Nx", "64", "--epochs", "4000",
+         "--history_every", "200"],
+        "ref_heat_tmax.csv",
+        {"norm_eqn": 3.0, "norm_imp": 3.0, "loss": 10.0},
+    ),
+    (
+        # basic/fields canonical (plain ./fields.py: 8x4 multigrid Adam,
+        # 100 epochs); norms match the reference to 5-7 digits (see
+        # tests/test_converged.py fields).
+        "fields",
+        "basic/fields.py",
+        ["--plot", "0", "--epochs", "100", "--history_every", "10"],
+        "ref_fields.csv",
+        {"loss": 1.2, "norm_uc": 1.1, "norm_un": 1.1,
+         "norm_ufx": 1.1, "norm_ufy": 1.1},
+    ),
 ]
 
 
