@@ -84,11 +84,17 @@ def _up2d(c, Wx, Wy):
 
 
 # Backward-dot precision: the cotangent down-projection (_down2d) touches
-# only GRADIENTS, so its rounding never biases the residuals.  "split"
-# (default) keeps the 3-pass split-operand exact dot; "raw" runs one bf16
-# MXU pass per dot (relative rounding ~2^-9 on dcoarse).  Priced and
-# trajectory-gated in BENCH_NOTES.md round 5.
-_BWD_DOT = os.environ.get("ODIL_MG_BWD_DOT", "split")
+# only GRADIENTS, so its rounding never biases the residuals -- and the
+# XLA epilogue's cotangent projection (the autodiff transpose of
+# transfer.dot_xw) is ALREADY one raw pass, because the bitmask split
+# carries gradient only through its exact x3 remainder term.  "raw"
+# (default) therefore runs one bf16 MXU pass per dot (W is bf16-exact,
+# so only the cotangent operand rounds, ~2^-9 relative); "split" opts
+# back into the 3-pass split-operand exact dot.  Gated on the flagship:
+# 400-epoch trajectory vs the reference archive worst row 4.11% (split:
+# 4.04%) and the 2000-epoch converged plateau lands in the same
+# oscillation band (BENCH_NOTES.md round 5 "backward-dot precision").
+_BWD_DOT = os.environ.get("ODIL_MG_BWD_DOT", "raw")
 
 
 def _down2d(d, Wx, Wy):

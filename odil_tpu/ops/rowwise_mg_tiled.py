@@ -53,7 +53,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..transfer import _interp_matrix
 from .rowwise import _sumsq_vec, _weights_of
 from . import rowwise_mg as _mg
-from .rowwise_mg import _dot_wx, _dot_xw, _recon_rows_xla
+from .rowwise_mg import _recon_rows_xla
 
 __all__ = ["rowwise_mg_tiled_loss_and_grads", "mg_tiled_supported"]
 
@@ -272,7 +272,9 @@ def _loss_and_grads_tiled(
                 cblend = (1.0 - wt) * cw[0] + wt * cw[1]
                 # Split-operand exact dots (W matrices are bf16-exact);
                 # see rowwise_mg._dot_xw for the precision contract.
-                fresh = f0s[f] * t0_w + _dot_wx(Wsub_v, _dot_xw(cblend, Wy_v.T))
+                # Routed through rowwise_mg._up2d (same dots) so the
+                # kernel_ablation stubs and precision knobs apply here.
+                fresh = f0s[f] * t0_w + _mg._up2d(cblend, Wsub_v, Wy_v)
                 fresh_rows.append(fresh)
                 frows = [fresh]
                 for m in range(1, hist + 1):
