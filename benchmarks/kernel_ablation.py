@@ -164,6 +164,11 @@ def main():
         K = 128
 
         def fma_kernel(x_ref, o_ref):
+            # One FMA chain per element.  The (256, 256) f32 tile spans 64
+            # vregs, so the element-serial chain already carries 64-way
+            # instruction-level parallelism -- measured: multi-accumulator
+            # variants (2/4/8 chains) are SLOWER (1.58-1.61 TFLOP/s vs
+            # 2.48) from register pressure; this form is the ceiling.
             x = x_ref[...]
             a = jnp.float32(1.0000001)
             b = jnp.float32(1e-7)
@@ -315,12 +320,18 @@ def main():
     if vpu_stats:
         out.update(vpu_stats)
         bound_ms = out.get("row_math_bound_ms")
+        # Time the row math would need UNOVERLAPPED if every counted op
+        # ran at the VPU FMA ceiling (cost-analysis ops are an upper
+        # bound: selects/compares are counted but cheaper than FMAs).
+        at_ceiling = (vpu_stats["row_math_gflops_per_eval"]
+                      / vpu_stats["vpu_ceiling_tflops"])
+        out["row_math_at_ceiling_ms"] = round(at_ceiling, 4)
         if bound_ms and bound_ms > 0:
-            sustained = vpu_stats["row_math_gflops_per_eval"] / bound_ms / 1e3
-            out["row_math_sustained_tflops"] = round(sustained, 2)
-            out["row_math_pct_of_vpu_ceiling"] = round(
-                100 * sustained / vpu_stats["vpu_ceiling_tflops"], 1
-            )
+            # marginal << at_ceiling means the row math is largely
+            # overlapped with the DMA streams: the kernel's critical
+            # path is streaming, not VPU compute, and a hand-written
+            # adjoint can recover at most `row_math_bound_ms`.
+            out["row_math_overlap_factor"] = round(at_ceiling / bound_ms, 2)
     print(json.dumps(out, indent=1))
 
 
