@@ -259,11 +259,18 @@ def main():
             s = s + c
         return tuple(s * (0.1 * (k + 1)) for k in range(nterms))
 
+    def _reshape_nomm(x, A, B):
+        # Shape-generic stand-in (works for the tiled kernels' widened
+        # windows too): tile-and-slice to the matmul's output shape with
+        # copies only -- no MXU work.
+        reps = (-(-A // x.shape[0]), -(-B // x.shape[1]))
+        return jnp.tile(x, reps)[:A, :B]
+
     def up2d_nomm(c, Wx, Wy):
-        return jnp.concatenate([jnp.concatenate([c, c], axis=0)] * 2, axis=1)
+        return _reshape_nomm(c, Wx.shape[0], Wy.shape[0])
 
     def down2d_nomm(d, Wx, Wy):
-        return d[: d.shape[0] // 2, : d.shape[1] // 2] * 1.0
+        return _reshape_nomm(d, Wx.shape[1], Wy.shape[1]) * 1.0
 
     def up2d_raw(c, Wx, Wy):
         return jnp.dot(Wx, jnp.dot(c, Wy.T, precision=jax.lax.Precision.DEFAULT),
@@ -287,12 +294,27 @@ def main():
         sel = args.variants.split(",")
         variants = {k: v for k, v in variants.items() if k in sel}
 
+    base_upf = rowwise_mg._up2d_fields
+    base_downf = rowwise_mg._down2d_fields
+
+    def upf_via_scalar(cs, Wx, Wy):
+        return [rowwise_mg._up2d(c, Wx, Wy) for c in cs]
+
+    def downf_via_scalar(ds, Wx, Wy):
+        return [rowwise_mg._down2d(d, Wx, Wy) for d in ds]
+
     results = {}
     if not args.variants or "kernel-only" in args.variants.split(","):
         results["kernel-only"] = measure_kernel_only("kernel-only")
     for name, cfg in variants.items():
         rowwise_mg._up2d = cfg.get("up", base_up)
         rowwise_mg._down2d = cfg.get("down", base_down)
+        # Ablated variants route the field-batched entry points through
+        # the (stubbed) scalar ones so the stubs cover them too.
+        if "up" in cfg:
+            rowwise_mg._up2d_fields = upf_via_scalar
+        if "down" in cfg:
+            rowwise_mg._down2d_fields = downf_via_scalar
         if cfg.get("rf"):
             vt._make_row_fn = lambda *a, **k: trivial_row_fn
         try:
@@ -300,6 +322,8 @@ def main():
         finally:
             rowwise_mg._up2d = base_up
             rowwise_mg._down2d = base_down
+            rowwise_mg._up2d_fields = base_upf
+            rowwise_mg._down2d_fields = base_downf
             vt._make_row_fn = base_rowfn
 
     vpu_stats = None

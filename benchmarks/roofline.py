@@ -122,10 +122,13 @@ def main():
         for i in range(n):
             refs[n + i][...] = refs[i][...]
 
-    spec = pl.BlockSpec((1, args.nx, args.nx), lambda i: (i, 0, 0))
+    # Whole planes up to 256^2; x-tiled rows beyond (a (1, 1024, 1024)
+    # block is 4 MiB -- 3 in + 3 out double-buffered overflows VMEM).
+    bx = args.nx if args.nx <= 256 else 128
+    spec = pl.BlockSpec((1, bx, args.nx), lambda i, q: (i, q, 0))
     copy3 = pl.pallas_call(
         copy_kernel,
-        grid=(T,),
+        grid=(T, args.nx // bx),
         in_specs=[spec] * 3,
         out_specs=[spec] * 3,
         out_shape=[jax.ShapeDtypeStruct((T, args.nx, args.nx), jnp.float32)] * 3,

@@ -105,16 +105,117 @@ def _down2d(d, Wx, Wy):
     return _dot_wx(Wx.T, _dot_xw(d, Wy))
 
 
+# y-banded projections: the one-level y prolongation matrix is 2-banded,
+# so the dense (.., CY) @ (CY, Y) inner dot costs O(Y) MACs per cell --
+# the dominant per-cell growth term at 1024^2 (kernel_ablation:
+# in-kernel matmul bound 6.7 ms of the 28.1 ms full route).  Banding
+# restricts each fine y block's contraction to its ~B/2-column coarse
+# support; dropped terms are exact zeros of Wy.  MEASURED SLOWER on the
+# v5e (1024^2 full route: dense 28.1, B=512 29.5, B=256 30.5 ms/iter --
+# the unaligned lane slices of the resident Wy relayout per band per
+# row and eat the FLOP saving), so banding is OFF by default
+# (_BAND_MIN_Y env knob opts in); kept because the structure is right
+# if band submatrices are ever passed as aligned resident inputs.  The
+# shipped at-scale matmul fix is _up2d_fields/_down2d_fields below.
+_BAND_MIN_Y = int(os.environ.get("ODIL_MG_BAND_MIN_Y", str(10**9)))
+_BAND_B = int(os.environ.get("ODIL_MG_BAND_B", "512"))
+
+
+def band_ranges(Wy_np, B):
+    """Static (row0, nrows, col_lo, col_hi) bands of the fine-row blocks
+    of a (Y, CY) prolongation matrix, from its actual nonzero support."""
+    Y, _ = Wy_np.shape
+    bands = []
+    for r0 in range(0, Y, B):
+        b = min(B, Y - r0)
+        nz = np.nonzero(np.abs(Wy_np[r0 : r0 + b]).sum(axis=0) > 0)[0]
+        bands.append((r0, b, int(nz[0]), int(nz[-1]) + 1))
+    return tuple(bands)
+
+
+def bands_for(Wy_np, Y):
+    """Band list for the tiled kernels' y prolongation, or None when the
+    plane is below the banding threshold."""
+    if _BAND_B > 0 and Y >= _BAND_MIN_Y and Y > _BAND_B:
+        return band_ranges(Wy_np, _BAND_B)
+    return None
+
+
+def _up2d_banded(c, Wx, Wy, bands):
+    """``_up2d`` with the y contraction restricted per fine-row band to
+    its coarse support window (each band is itself an ``_up2d`` call, so
+    precision knobs and ablation stubs apply per band)."""
+    return jnp.concatenate(
+        [_up2d(c[:, lo:hi], Wx, Wy[r0 : r0 + b, lo:hi]) for r0, b, lo, hi in bands],
+        axis=1,
+    )
+
+
+def _down2d_banded(d, Wx, Wy, bands):
+    """Banded transposed projection: per-band ``_down2d`` over the fine
+    band's rows, accumulated into the full coarse width (adjacent bands'
+    support windows overlap by <= 2 columns)."""
+    CY = Wy.shape[1]
+    out = None
+    for r0, b, lo, hi in bands:
+        part = _down2d(d[:, r0 : r0 + b], Wx, Wy[r0 : r0 + b, lo:hi])
+        part = jnp.pad(part, ((0, 0), (lo, CY - hi)))
+        out = part if out is None else out + part
+    return out
+
+
+def _pad_rows8(xs):
+    """Stack 2D operands along rows, each zero-padded to a multiple of 8
+    rows so the per-field slices of the result are sublane-aligned."""
+    m = xs[0].shape[0]
+    mp = -(-m // 8) * 8
+    stack = jnp.concatenate(
+        [x if mp == m else jnp.pad(x, ((0, mp - m), (0, 0))) for x in xs], axis=0
+    )
+    return stack, m, mp
+
+
+def _up2d_fields(cs, Wx, Wy):
+    """Field-batched 2D prolongation: ONE inner dot for all fields.
+
+    The inner dot's M (the coarse x window, ~W/2 + 4 rows) sits far
+    below the MXU's 128-row tile, so its cost is M-independent on the
+    v5e (measured 9.7 us/dot for (M,512)@(512,1024) at M = 20, 60 and
+    120) -- stacking the fields along M makes the dominant inner
+    contraction ~nf x cheaper at zero numerical cost: each row is
+    contracted independently, so the per-field results are bitwise the
+    per-field ``_up2d`` results."""
+    stack, m, mp = _pad_rows8(cs)
+    inner = _dot_xw(stack, Wy.T)
+    return [_dot_wx(Wx, inner[i * mp : i * mp + m]) for i in range(len(cs))]
+
+
+def _down2d_fields(ds, Wx, Wy):
+    """Field-batched transposed projection; see ``_up2d_fields`` (and
+    ``_down2d`` for the raw-by-default backward precision)."""
+    stack, m, mp = _pad_rows8(ds)
+    if _BWD_DOT == "raw":
+        p = jax.lax.Precision.DEFAULT
+        inner = jnp.dot(stack, Wy, precision=p)
+        return [
+            jnp.dot(Wx.T, inner[i * mp : i * mp + m], precision=p)
+            for i in range(len(ds))
+        ]
+    inner = _dot_xw(stack, Wy)
+    return [_dot_wx(Wx.T, inner[i * mp : i * mp + m]) for i in range(len(ds))]
+
+
 def _recon(r, t0_plane, c0, c1, Wx, Wy, f0):
     w = 0.5 * (r % 2).astype(c0.dtype)
     c = (1.0 - w) * c0 + w * c1
     return f0 * t0_plane + _up2d(c, Wx, Wy)
 
 
-def _recon_rows_xla(t0, P, rows, Wx, Wy, f0):
+def _recon_rows_xla(t0, P, rows, Wx, Wy, f0, bands=None):
     """Reconstructs the listed fine rows outside the kernel, with the exact
     operation order of ``_recon`` so ring-cached and resident copies of a
-    row are bit-identical."""
+    row are bit-identical.  ``bands`` must match the consuming kernel's
+    banding (same structure -> same accumulation shape)."""
     Tc = P.shape[0]
     out = []
     for r in rows:
@@ -122,7 +223,8 @@ def _recon_rows_xla(t0, P, rows, Wx, Wy, f0):
         c0 = P[r // 2]
         c1 = P[min(r // 2 + 1, Tc - 1)]
         c = (1.0 - w) * c0 + w * c1
-        out.append(f0 * t0[r] + _up2d(c, Wx, Wy))
+        up = _up2d_banded(c, Wx, Wy, bands) if bands else _up2d(c, Wx, Wy)
+        out.append(f0 * t0[r] + up)
     return jnp.stack(out)
 
 
@@ -405,12 +507,20 @@ def _backward_mg(
 
         fresh_rows = []
         rows = []
+        if lvl2 is None:
+            # Same blend + projection order as _recon, with the fields'
+            # inner dots batched into one (_up2d_fields: per-field
+            # results are bitwise the per-field _up2d results, so ring,
+            # wrap-resident, and XLA-reconstructed copies still agree).
+            wb = 0.5 * (it % 2).astype(t0s[0].dtype)
+            cbs = [
+                (1.0 - wb) * c_refs[2 * f][0] + wb * c_refs[2 * f + 1][0]
+                for f in range(nf)
+            ]
+            ups = _up2d_fields(cbs, Wx_v, Wy_v)
         for f in range(nf):
             if lvl2 is None:
-                fresh = _recon(
-                    it, t0_refs[f][0], c_refs[2 * f][0], c_refs[2 * f + 1][0],
-                    Wx_v, Wy_v, f0s[f],
-                )
+                fresh = f0s[f] * t0_refs[f][0] + ups[f]
             else:
                 fresh = _recon(
                     it,
@@ -528,14 +638,16 @@ def _backward_mg(
                     dacc_refs[f][((t - 1) // 2) % 2] += 0.5 * complete
                     dacc_refs[f][((t + 1) // 2) % 2] = 0.5 * complete
 
-                closing = todd | (t == T - 1)
+            closing = todd | (t == T - 1)
 
-                @pl.when(closing)
-                def _(f=f):
-                    c = jnp.where(todd, (t - 1) // 2, t // 2)
-                    out_c_refs[f][0] = _down2d(
-                        dacc_refs[f][c % 2], Wx_v, Wy_v
-                    )
+            @pl.when(closing)
+            def _():
+                c = jnp.where(todd, (t - 1) // 2, t // 2)
+                dcs = _down2d_fields(
+                    [dacc_refs[f][c % 2] for f in range(nf)], Wx_v, Wy_v
+                )
+                for f in range(nf):
+                    out_c_refs[f][0] = dcs[f]
 
         # Carry the fresh row for the next `hist` programs (after all reads).
         for f in range(nf):

@@ -117,7 +117,13 @@ def mg_local_tiled_supported(Xe, Y, dtype, nf, nconsts, hist, halox, hx,
             + 2 * 2 * hist * h * Y * itemsize  # edge outs
         )
         wsub = 2 * (W + 2 * h) * Wcv * itemsize
-        return nf * per_field + nconsts * 2 * wplane + wsub
+        # Resident Wy ((Y, Y/2): 2 MiB at Y=1024) and the split-dot stack
+        # temporaries -- omitting these let the sibling global-tiled model
+        # pick a width whose real Mosaic scoped allocation overflowed at
+        # (65,1024,1024) (see mg_tiled_supported's calibration note).
+        resident = Y * CY * itemsize
+        split_tmp = 3 * Wcv * (CY + Y) * itemsize + (W + 2 * h) * Y * itemsize
+        return nf * per_field + nconsts * 2 * wplane + wsub + resident + split_tmp
 
     W = 1 << int(np.floor(np.log2(max(Xe, 16))))
     fitting = []

@@ -87,9 +87,19 @@ def _build_tile_matrices(X, W, h, hc, dtype):
     return subs.astype(dtype), Wx.astype(dtype)
 
 
-def mg_tiled_supported(t0_shapes, dtype, hist=1, budget=11 * 1024 * 1024):
+def mg_tiled_supported(t0_shapes, dtype, hist=1, budget=12 * 1024 * 1024):
     """True when the tiled mg backward fits VMEM for some power-of-two
-    tile width; returns the chosen (W, h, hc) or None."""
+    tile width; returns the chosen (W, h, hc) or None.
+
+    Calibration (v5e, round 5): the model must also count the RESIDENT
+    prolongation matrices (Wy is (Y, Y/2) -- 2 MiB of VMEM at Y=1024)
+    and the split-dot stack temporaries, or it picks W=64 at
+    (65,1024,1024) where Mosaic's real scoped allocation is 19.69 MiB
+    (compile-time VMEM OOM).  Measured anchors: (65,512,512) W=128
+    (model 11.91 MiB) compiles and runs 4.15 ms/iter; (65,1024,1024)
+    W=64 (model 13.50 MiB) OOMs; W=32 (7.85 MiB) compiles and runs
+    24.3 ms/iter at full shipped precision.  The 12 MiB budget
+    separates the anchors."""
     T, X, Y = t0_shapes[0]
     nf = len(t0_shapes)
     if X % 2 or Y % 2 or X < 64:
@@ -111,7 +121,17 @@ def mg_tiled_supported(t0_shapes, dtype, hist=1, budget=11 * 1024 * 1024):
             + 4 * cplane + 2 * (W // 2 + 2 * hc) * (Y // 2) * itemsize
             + hist * wide           # wrap residents
         )
-        return nf * per_field + 2 * 2 * wplane  # + consts
+        resident = (
+            Y * (Y // 2) * itemsize                          # Wy
+            + (X // max(W, 1)) * (W + 2 * h) * (W // 2 + 2 * hc) * itemsize
+        )
+        # Split-dot stack temporaries of the in-kernel up/down projections
+        # (3 bf16-exact terms of the coarse window and the intermediate).
+        split_tmp = (
+            3 * (W // 2 + 2 * hc) * (Y // 2 + Y) * itemsize
+            + (W + 2 * h) * Y * itemsize
+        )
+        return nf * per_field + 2 * 2 * wplane + resident + split_tmp
 
     W = X
     while W % 2 == 0 and W > 16 and vmem(W) > budget:
@@ -137,13 +157,18 @@ def _loss_and_grads_tiled(
     gmat = jnp.reshape(g, (1, nterms))
     subs_np, Wx_np = _build_tile_matrices(X, W, h, hc, np.float64)
     Wsub = jnp.asarray(subs_np.astype(dtype))
-    Wy = jnp.asarray(_interp_matrix(CY, "c", dtype))  # (Y, CY)
+    Wy_np = _interp_matrix(CY, "c", dtype)
+    Wy = jnp.asarray(Wy_np)  # (Y, CY)
+    # y-banded projections past the threshold (rowwise_mg.bands_for): the
+    # dense inner dot is O(Y) MACs per cell, the at-scale decay driver.
+    bands = _mg.bands_for(Wy_np, Y)
 
     # Periodic t-wrap rows T-hist..T-1, reconstructed by XLA at full X with
     # the identical operation order, then gathered into widened tiles.
     def wrap_resident(f):
         full = _recon_rows_xla(
-            t0s[f], coarse[f], range(T - hist, T), jnp.asarray(Wx_np.astype(dtype)), Wy, f0s[f]
+            t0s[f], coarse[f], range(T - hist, T),
+            jnp.asarray(Wx_np.astype(dtype)), Wy, f0s[f], bands=bands,
         )  # (hist, X, Y)
         tiles = []
         for p in range(nxt):
@@ -245,16 +270,18 @@ def _loss_and_grads_tiled(
         @pl.when(i < T)
         def _():
             wt = 0.5 * (i % 2).astype(dtype)
-            fresh_rows = []
-            rows = []
+            t0_ws = []
+            cblends = []
             for f in range(nf):
-                t0_w = jnp.concatenate(
-                    [
-                        t0_refs[3 * f + 1][0][_HB - h :],
-                        t0_refs[3 * f][0],
-                        t0_refs[3 * f + 2][0][:h],
-                    ],
-                    axis=0,
+                t0_ws.append(
+                    jnp.concatenate(
+                        [
+                            t0_refs[3 * f + 1][0][_HB - h :],
+                            t0_refs[3 * f][0],
+                            t0_refs[3 * f + 2][0][:h],
+                        ],
+                        axis=0,
+                    )
                 )  # (W + 2h, Y)
                 cw = []
                 for k in range(2):
@@ -269,12 +296,22 @@ def _loss_and_grads_tiled(
                             axis=0,
                         )
                     )  # (Wc + 2hc, CY)
-                cblend = (1.0 - wt) * cw[0] + wt * cw[1]
-                # Split-operand exact dots (W matrices are bf16-exact);
-                # see rowwise_mg._dot_xw for the precision contract.
-                # Routed through rowwise_mg._up2d (same dots) so the
-                # kernel_ablation stubs and precision knobs apply here.
-                fresh = f0s[f] * t0_w + _mg._up2d(cblend, Wsub_v, Wy_v)
+                cblends.append((1.0 - wt) * cw[0] + wt * cw[1])
+            # Split-operand exact dots (W matrices are bf16-exact); see
+            # rowwise_mg._dot_xw for the precision contract.  All fields'
+            # inner dots batch into one (the dot is M-independent below
+            # 128 rows: _up2d_fields); y-banded per field past the
+            # opt-in threshold.
+            if bands:
+                ups = [
+                    _mg._up2d_banded(c, Wsub_v, Wy_v, bands) for c in cblends
+                ]
+            else:
+                ups = _mg._up2d_fields(cblends, Wsub_v, Wy_v)
+            fresh_rows = []
+            rows = []
+            for f in range(nf):
+                fresh = f0s[f] * t0_ws[f] + ups[f]
                 fresh_rows.append(fresh)
                 frows = [fresh]
                 for m in range(1, hist + 1):
@@ -370,18 +407,24 @@ def _loss_and_grads_tiled(
                     dacc_refs[f][((t - 1) // 2) % 2] += 0.5 * complete
                     dacc_refs[f][((t + 1) // 2) % 2] = 0.5 * complete
 
-                closing = todd | (t == T - 1)
+            closing = todd | (t == T - 1)
 
-                @pl.when(closing)
-                def _(f=f):
-                    c = jnp.where(todd, (t - 1) // 2, t // 2)
-                    # Split-operand exact dots as above.
-                    # Cotangent down-projection: routed through
-                    # rowwise_mg._down2d so the ODIL_MG_BWD_DOT precision
-                    # knob (and test hooks on that module) apply here too.
-                    out_dc_refs[f][0, 0] = _mg._down2d(
-                        dacc_refs[f][c % 2], Wsub_v[h : h + W], Wy_v
-                    )
+            @pl.when(closing)
+            def _():
+                c = jnp.where(todd, (t - 1) // 2, t // 2)
+                daccs = [dacc_refs[f][c % 2] for f in range(nf)]
+                # Cotangent down-projection (raw by default, see
+                # rowwise_mg._down2d): one field-batched inner dot per
+                # closing coarse row; y-banded past the opt-in threshold.
+                if bands:
+                    dcs = [
+                        _mg._down2d_banded(d, Wsub_v[h : h + W], Wy_v, bands)
+                        for d in daccs
+                    ]
+                else:
+                    dcs = _mg._down2d_fields(daccs, Wsub_v[h : h + W], Wy_v)
+                for f in range(nf):
+                    out_dc_refs[f][0, 0] = dcs[f]
 
     in_specs = []
     inputs = []
