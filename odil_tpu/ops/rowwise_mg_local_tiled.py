@@ -396,24 +396,30 @@ def _loss_and_grads_local_tiled(
         @pl.when(i < Tl)
         def _():
             wt = 0.5 * (i % 2).astype(dtype)
-            fresh_rows = []
-            rows = []
+            t0_ws = []
+            cblends = []
             for f in range(nf):
-                t0_w = jnp.concatenate(
-                    [
-                        t0_refs[3 * f + 1][0][_HB - h :],
-                        t0_refs[3 * f][0],
-                        t0_refs[3 * f + 2][0][:h],
-                    ],
-                    axis=0,
+                t0_ws.append(
+                    jnp.concatenate(
+                        [
+                            t0_refs[3 * f + 1][0][_HB - h :],
+                            t0_refs[3 * f][0],
+                            t0_refs[3 * f + 2][0][:h],
+                        ],
+                        axis=0,
+                    )
                 )  # (W + 2h, Y)
                 c0w = c_refs[2 * f][0, 0]
                 c1w = c_refs[2 * f + 1][0, 0]
-                cblend = (1.0 - wt) * c0w + wt * c1w  # (Wcv, CY)
-                # Split-operand exact dots (3 raw passes, fp32-grade): the
-                # plain @ would run at the global HIGHEST default (6
-                # passes) inside the kernel; see transfer.dot_xw.
-                fresh = f0s[f] * t0_w + _mg._up2d(cblend, Wsub_v, Wy_v)
+                cblends.append((1.0 - wt) * c0w + wt * c1w)  # (Wcv, CY)
+            # Split-operand exact dots (3 raw passes, fp32-grade; see
+            # transfer.dot_xw), with the fields' inner dots batched into
+            # one (M-independent below 128 rows: rowwise_mg._up2d_fields).
+            ups = _mg._up2d_fields(cblends, Wsub_v, Wy_v)
+            fresh_rows = []
+            rows = []
+            for f in range(nf):
+                fresh = f0s[f] * t0_ws[f] + ups[f]
                 fresh_rows.append(fresh)
                 frows = [fresh]
                 for m in range(1, hist + 1):
@@ -474,14 +480,16 @@ def _loss_and_grads_local_tiled(
         # reconstruction (the t-blend runs in the epilogue).
         @pl.when(i >= hist)
         def _():
+            completes = []
             for f in range(nf):
                 complete = acc_refs[f][(i - hist) % adepth]
                 out_t0_refs[f][0] = f0s[f] * complete
-                # Routed through rowwise_mg._down2d: split-exact by
-                # default, raw under the ODIL_MG_BWD_DOT=raw knob.
-                out_dc_refs[f][0, 0] = _mg._down2d(
-                    complete, Wsub_v[h : h + W], Wy_v
-                )
+                completes.append(complete)
+            # Field-batched cotangent down-projection (raw by default;
+            # ODIL_MG_BWD_DOT=split opts back -- rowwise_mg._down2d).
+            dcs = _mg._down2d_fields(completes, Wsub_v[h : h + W], Wy_v)
+            for f in range(nf):
+                out_dc_refs[f][0, 0] = dcs[f]
 
     in_specs = []
     inputs = []

@@ -178,6 +178,10 @@ def _loss_and_grads_tiled(
 
     wraps = [wrap_resident(f) for f in range(nf)] if hist else []
 
+    # (Deeper multi-buffering of the fine streams via
+    # pl.Buffered(buffer_count>2) is a measured dead end: Mosaic rejects
+    # buffer counts beyond double buffering, and lookahead is
+    # unsupported by the pipeline emitter -- BENCH_NOTES round 5.)
     def t0_spec(toff):
         return pl.BlockSpec((1, W, Y), lambda p, i: ((i + toff) % T, p, 0))
 
