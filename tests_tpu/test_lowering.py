@@ -50,7 +50,17 @@ def _eval(problem, state):
     )
 
 
-def _compare_kernel_to_xla(kernel, multigrid, rtol=2e-6, atol=2e-6):
+# Gradient tolerance for the mg-kernel comparisons: the cotangent
+# down-projection runs at raw MXU precision by default (round 5,
+# rowwise_mg._BWD_DOT -- ~2^-9 relative rounding of the cotangent
+# operand, applied at a different point than the XLA epilogue's own raw
+# transpose), so kernel-vs-XLA gradients spread to ~3e-3 relative on
+# random states.  A lowering regression produces garbage, not 5e-3.
+MG_GRAD_TOL = 5e-3
+
+
+def _compare_kernel_to_xla(kernel, multigrid, rtol=2e-6, atol=2e-6,
+                           grad_rtol=None):
     from odil_tpu.models import veltracer as vt
 
     runs = {}
@@ -71,9 +81,10 @@ def _compare_kernel_to_xla(kernel, multigrid, rtol=2e-6, atol=2e-6):
     np.testing.assert_allclose(l0, l1, rtol=rtol)
     for a, b in zip(t0, t1):
         np.testing.assert_allclose(a, b, rtol=rtol, atol=atol)
+    gr = grad_rtol if grad_rtol is not None else rtol
     for a, b in zip(g0, g1):
         scale = max(1.0, float(np.max(np.abs(a))))
-        np.testing.assert_allclose(a, b, rtol=rtol, atol=atol * scale)
+        np.testing.assert_allclose(a, b, rtol=gr, atol=gr * scale)
 
 
 def test_rowwise_kernel_lowers():
@@ -89,7 +100,8 @@ def test_rowwise_mg_kernel_lowers():
     default (bf16-mantissa) precision while the XLA ladder uses a different
     contraction order, giving ~2e-4 relative spread on random states; a
     lowering regression produces garbage, not 1e-4."""
-    _compare_kernel_to_xla("pallas_mg", multigrid=True, rtol=1e-3, atol=1e-3)
+    _compare_kernel_to_xla("pallas_mg", multigrid=True, rtol=1e-3, atol=1e-3,
+                           grad_rtol=MG_GRAD_TOL)
 
     # The training-path fused loss+grad (Problem.make_loss_grad_fn) must
     # agree too -- it is the path bench.py and the optimizer scan use.
@@ -111,7 +123,9 @@ def test_rowwise_mg_kernel_lowers():
     np.testing.assert_allclose(l0, float(np.asarray(loss)), rtol=1e-3)
     for a, b in zip(g0, grads):
         scale = max(1.0, float(np.max(np.abs(a))))
-        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=MG_GRAD_TOL, atol=MG_GRAD_TOL * scale
+        )
 
 
 def test_halo_sharded_kernel_lowers():
@@ -172,7 +186,9 @@ def test_halo_onepass_kernel_lowers():
     np.testing.assert_allclose(l0, float(np.asarray(loss)), rtol=1e-3)
     for a, b in zip(g0, grads):
         scale = max(1.0, float(np.max(np.abs(a))))
-        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=MG_GRAD_TOL, atol=MG_GRAD_TOL * scale
+        )
 
 
 def test_halo_generic_onepass_kernel_lowers():
@@ -201,6 +217,8 @@ def test_halo_generic_onepass_kernel_lowers():
     (loss, (terms, norms)), grads = jax.jit(fn)(arrays1, problem1.tracers)
 
     np.testing.assert_allclose(l0, float(np.asarray(loss)), rtol=1e-3)
+    # No multigrid here -> no cotangent down-projection; keep the tight
+    # non-mg gradient tolerance.
     for a, b in zip(g0, grads):
         scale = max(1.0, float(np.max(np.abs(a))))
         np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
@@ -287,7 +305,9 @@ def test_halo_mg_tiled_onepass_lowers():
     np.testing.assert_allclose(l0, float(np.asarray(loss)), rtol=1e-3)
     for a, b in zip(g0, grads):
         scale = max(1.0, float(np.max(np.abs(a))))
-        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=MG_GRAD_TOL, atol=MG_GRAD_TOL * scale
+        )
 
 
 def test_halo_lane_partition_kernel_lowers():
@@ -318,7 +338,9 @@ def test_halo_lane_partition_kernel_lowers():
     np.testing.assert_allclose(l0, float(np.asarray(v1)), rtol=1e-3)
     for a, b in zip(g0, g1):
         scale = max(1.0, float(np.max(np.abs(a))))
-        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=MG_GRAD_TOL, atol=MG_GRAD_TOL * scale
+        )
 
     fn = problem1.make_loss_grad_fn(state1, halo=True)
     assert fn is not None and fn.route == "generic"
@@ -326,4 +348,6 @@ def test_halo_lane_partition_kernel_lowers():
     np.testing.assert_allclose(l0, float(np.asarray(loss)), rtol=1e-3)
     for a, b in zip(g0, grads):
         scale = max(1.0, float(np.max(np.abs(a))))
-        np.testing.assert_allclose(a, np.asarray(b), rtol=1e-3, atol=1e-3 * scale)
+        np.testing.assert_allclose(
+            a, np.asarray(b), rtol=MG_GRAD_TOL, atol=MG_GRAD_TOL * scale
+        )
