@@ -253,4 +253,9 @@ def test_flagship_256_equal_iteration_envelope():
         assert abs(have - want) <= 0.15 * abs(want), (
             f"epoch {r['epoch']}: reference loss {want} vs run {have}"
         )
-    assert matched >= 2 and ref[-1]["epoch"] in rows, (matched, sorted(rows))
+    # matched >= 2 requires both comparable rows (epochs 0 and 20 -- the
+    # reference rows at the harness's history cadence); "20" confirms the
+    # re-run reached its final epoch.  (The original form demanded the
+    # reference's LAST row, epoch 400, inside the 20-epoch re-run --
+    # unsatisfiable; latent until the lane's first full run.)
+    assert matched >= 2 and "20" in rows, (matched, sorted(rows))
