@@ -499,11 +499,13 @@ def _backward_mg(
             @pl.when(it % 2 == 0)
             def _():
                 w2 = 0.5 * (r1 % 2).astype(t0s[0].dtype)
+                c2s = [
+                    (1.0 - w2) * c_refs[2 * f][0] + w2 * c_refs[2 * f + 1][0]
+                    for f in range(nf)
+                ]
+                up1s = _up2d_fields(c2s, W1x_v, W1y_v)
                 for f in range(nf):
-                    c2 = (1.0 - w2) * c_refs[2 * f][0] + w2 * c_refs[2 * f + 1][0]
-                    p1ring_refs[f][r1 % 2] = f1s[f] * t1_refs[f][0] + _up2d(
-                        c2, W1x_v, W1y_v
-                    )
+                    p1ring_refs[f][r1 % 2] = f1s[f] * t1_refs[f][0] + up1s[f]
 
         fresh_rows = []
         rows = []
