@@ -290,7 +290,10 @@ def _mg_partial_depth(t0_shapes, dtype):
     also in VMEM) measured consistently ~4% SLOWER on the flagship bench
     (1069/1077/1080 vs the 1094-1163 one-level band) -- the extra
     in-kernel reconstruction costs more than the XLA-overlapped prologue
-    it removes.  The capability stays available (and tested) by returning
+    it removes.  Re-measured in round 5 AFTER the field-batched dots
+    (which cheapen the in-kernel side): still ~3% slower (0.631 vs
+    0.613 ms/iter on the loss+grad chain) -- the conclusion holds.
+    The capability stays available (and tested) by returning
     2 here -- but ONLY when the whole-plane kernel fits VMEM: the depth-2
     branch has no tiled fallback, so beyond-VMEM planes must stay at
     depth 1 (the tiled kernel) instead of dying in the Mosaic compiler."""
