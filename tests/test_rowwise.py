@@ -537,6 +537,16 @@ def test_mg_vmem_gate_declines_large_planes():
     from odil_tpu.ops.rowwise_mg_tiled import mg_tiled_supported
 
     assert mg_tiled_supported(big, np.float32, hist=1) is not None
+    # VMEM-model calibration anchors (round 5, measured on the v5e):
+    # 512^2 must keep W=128 (compiles, 4.09 ms/iter shipped) and 1024^2
+    # must pick W=32 -- W=64's real Mosaic scoped allocation is
+    # 19.69 MiB, a compile-time OOM the old model (no resident Wy, no
+    # split temporaries) walked into.  2048^2 exceeds the model for any
+    # width (the resident Wy alone is 8 MiB) and must decline to the
+    # XLA fallback rather than die in the compiler.
+    assert mg_tiled_supported(((65, 512, 512),) * 3, np.float32, hist=1)[0] == 128
+    assert mg_tiled_supported(((65, 1024, 1024),) * 3, np.float32, hist=1)[0] == 32
+    assert mg_tiled_supported(((65, 2048, 2048),) * 3, np.float32, hist=1) is None
     problem, state, extra = vt.build(nt=4, nx=512, ny=512, kernel="pallas_mg", multigrid=True)
     assert problem.make_loss_grad_fn(state) is not None
     loss, grads, terms, names, norms = problem.eval_loss_grad(state)
