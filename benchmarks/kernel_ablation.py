@@ -305,7 +305,18 @@ def main():
 
     results = {}
     if not args.variants or "kernel-only" in args.variants.split(","):
-        results["kernel-only"] = measure_kernel_only("kernel-only")
+        # The kernel-only probe drives the UNTILED kernel API directly;
+        # beyond-VMEM shapes (512^2+) route tiled in production and would
+        # die in the Mosaic compiler here -- skip them (the tiled
+        # kernel-only numbers come from the direct probes in BENCH_NOTES).
+        from odil_tpu.ops.rowwise_mg import MG_VMEM_LIMIT, mg_vmem_estimate
+
+        shapes = ((args.nt + 1, args.nx, args.nx),) * 3
+        if mg_vmem_estimate(shapes, np.float32, hist=1, nconsts=2) <= MG_VMEM_LIMIT:
+            results["kernel-only"] = measure_kernel_only("kernel-only")
+        else:
+            print("kernel-only: skipped (beyond whole-plane VMEM; tiled route)",
+                  flush=True)
     for name, cfg in variants.items():
         rowwise_mg._up2d = cfg.get("up", base_up)
         rowwise_mg._down2d = cfg.get("down", base_down)
