@@ -7,11 +7,14 @@ Usage: python benchmarks/run_benchmarks.py [--configs NAME ...] [--epochs N]
 
 import argparse
 import json
+import os
 import sys
 import time
 from functools import partial
 
 import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 sys.path.insert(0, ".")
 sys.path.insert(0, "examples/velocity_from_tracer")
@@ -175,7 +178,13 @@ CONFIGS.update({k: v for k, v in SPECIAL_CONFIGS.items()})
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--configs", nargs="*", default=list(CONFIGS))
-    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument(
+        "--epochs", type=int, default=None,
+        help="iterations per config (default: 100; 3 for the GN configs "
+        "-- their linear test problem reaches machine precision in one "
+        "step, and iterating CG on the ~zero residual afterwards "
+        "degenerates to NaN)",
+    )
     parser.add_argument(
         "--platform",
         default="default",
@@ -183,11 +192,51 @@ def main():
         help="cpu forces the host platform (the JAX_PLATFORMS env var may "
         "be pinned by the environment; this uses jax.config instead)",
     )
+    parser.add_argument(
+        "--no-isolate", action="store_true",
+        help="run all configs in THIS process (the default spawns one "
+        "subprocess per config: the GN configs enable jax_enable_x64, "
+        "which leaks into later configs in the same process -- measured "
+        "to break the fp32 kernel configs with a Mosaic conversion "
+        "RecursionError)",
+    )
     args = parser.parse_args()
     if args.platform == "cpu":
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    if not args.no_isolate and len(args.configs) > 1:
+        import subprocess
+
+        rows = []
+        for name in args.configs:
+            cmd = [sys.executable, os.path.abspath(__file__), "--no-isolate",
+                   "--configs", name, "--platform", args.platform]
+            if args.epochs is not None:
+                cmd += ["--epochs", str(args.epochs)]
+            proc = subprocess.run(
+                cmd,
+                capture_output=True, text=True, cwd=ROOT,
+            )
+            ok = False
+            for line in proc.stdout.splitlines():
+                if line.startswith("{"):
+                    rec = json.loads(line)
+                    rows.append(rec)
+                    print(json.dumps(rec), flush=True)
+                    ok = True
+            if not ok:
+                print(json.dumps({"config": name, "error":
+                                  proc.stderr.strip().splitlines()[-1][:200]
+                                  if proc.stderr.strip() else "no output"}),
+                      flush=True)
+        print("\n| config | evals/s | ms/epoch | Mcells/s |")
+        print("|---|---|---|---|")
+        for r in rows:
+            print(f"| {r['config']} | {r['evals_per_sec']} | "
+                  f"{r['ms_per_epoch']} | {r['mcells_per_sec']} |")
+        return
 
     rows = []
     for name in args.configs:
@@ -200,15 +249,18 @@ def main():
             run = gn_step_runner(problem, state, linsolver=kind[3:])
         else:
             run = adam_epoch_runner(problem, state)
-        run(args.epochs)  # Warmup compiles the exact chunk length.
+        epochs = args.epochs
+        if epochs is None:
+            epochs = 3 if kind.startswith("gn_") else 100
+        run(epochs)  # Warmup compiles the exact chunk length.
         t0 = time.perf_counter()
-        loss = run(args.epochs)
+        loss = run(epochs)
         dt = time.perf_counter() - t0
-        evals = args.epochs / dt
+        evals = epochs / dt
         rec = {
             "config": name,
             "evals_per_sec": round(evals, 2),
-            "ms_per_epoch": round(1000 * dt / args.epochs, 3),
+            "ms_per_epoch": round(1000 * dt / epochs, 3),
             "mcells_per_sec": round(cells * evals / 1e6, 1),
             "final_loss": loss,
         }
