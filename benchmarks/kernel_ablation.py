@@ -54,6 +54,7 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
+    from odil_tpu import transfer
     from odil_tpu.models import veltracer as vt
     from odil_tpu.ops import rowwise_mg
 
@@ -288,6 +289,10 @@ def main():
         "trivial-row": dict(rf=True),
         "no-matmul": dict(up=up2d_nomm, down=down2d_nomm),
         "raw-bwd": dict(down=down2d_raw),
+        # Raw backward became the default in round 5; this variant prices
+        # the OPT-BACK (ODIL_MG_BWD_DOT=split: the 3-pass split dot).
+        "split-bwd": dict(down=lambda d, Wx, Wy: transfer.dot_wx(
+            Wx.T, transfer.dot_xw(d, Wy))),
         "raw-both": dict(up=up2d_raw, down=down2d_raw),
     }
     if args.variants:
