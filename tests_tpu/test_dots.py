@@ -71,7 +71,7 @@ def test_split_dot_is_fp32_grade_on_mxu():
 
     x = jnp.asarray(x64, jnp.float32)
     w = jnp.asarray(w64, jnp.float32)
-    split = np.asarray(jax.jit(dot_xw)(x, w.T.T))  # dot_xw(x, w): x @ w
+    split = np.asarray(jax.jit(dot_xw)(x, w))  # dot_xw(x, w): x @ w
     raw = np.asarray(
         jax.jit(lambda a, b: jnp.dot(a, b, precision=jax.lax.Precision.DEFAULT))(x, w)
     )
