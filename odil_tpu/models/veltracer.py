@@ -13,8 +13,10 @@ Two interchangeable operators:
 """
 
 import argparse
+import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .. import Domain, Field, Problem, State
@@ -137,6 +139,103 @@ def _make_row_fn(mod, dt, dx, dy, kimp, kxreg, ktreg):
     return row_fn
 
 
+def _make_row_vjp(mod, dt, dx, dy, kimp, kxreg, ktreg):
+    """Closed-form adjoint of ``_make_row_fn``'s residual rows.
+
+    Returns ``row_vjp(it, T, rows, data_rows, params, consts, cots) ->
+    (flat_row_cotangents, param_cotangents)`` with the flat order the
+    kernels use (field-major, (cur, prev)-minor) -- the hand-derived
+    transposes of the upwind switches (frozen velocities: the switch
+    masks carry no gradient), the self-adjoint periodic Laplacian, and
+    the it-masked branches.  Verified against ``jax.vjp`` of the row
+    function over every special row (tests/test_rowwise.py)."""
+
+    def row_vjp(it, T, rows, data_rows, params, consts, cots):
+        (u_r, vx_r, vy_r) = rows
+        u0, u1 = consts
+        ucur, uprev = u_r
+        vxc, vxp = vx_r
+        vyc, vyp = vy_r
+        w = list(cots)
+        w0, w1 = w[0], w[1]
+        pos = 2
+        if kxreg:
+            w2, w3 = w[pos], w[pos + 1]
+            pos += 2
+        if ktreg:
+            w4, w5 = w[pos], w[pos + 1]
+
+        one = jnp.asarray(1.0, ucur.dtype)
+        zero = jnp.asarray(0.0, ucur.dtype)
+        m0 = it == 0
+        not1 = mod.where(it == 1, zero, one)
+        b0 = mod.where(m0, zero, w0)
+
+        def upwind(um, uc, up, v):
+            return mod.where(v > 0, uc - um, mod.where(v < 0, up - uc, (up - um) * 0.5))
+
+        vxf = jax.lax.stop_gradient(vxc)
+        vyf = jax.lax.stop_gradient(vyc)
+        du_x = upwind(mod.roll(uprev, 1, 0), uprev, mod.roll(uprev, -1, 0), vxf)
+        du_y = upwind(mod.roll(uprev, 1, 1), uprev, mod.roll(uprev, -1, 1), vyf)
+
+        d_ucur = mod.where(m0, w0 / dx, w0 / dt) + mod.where(
+            it == T - 2, w1 * (kimp / dx), zero
+        )
+        d_uprev = -(b0 / dt) * not1
+
+        def adv_adjoint(c, vf, axis):
+            # c = b0 * v / h at the RESIDUAL location; scatter the upwind
+            # stencil's cotangent back onto uprev (um/up are rolls of it).
+            guc = mod.where(vf > 0, one, mod.where(vf < 0, -one, zero))
+            gum = mod.where(vf > 0, -one, mod.where(vf < 0, zero, -0.5 * one))
+            gup = mod.where(vf > 0, zero, mod.where(vf < 0, one, 0.5 * one))
+            return (
+                c * guc
+                + mod.roll(c * gum, -1, axis)
+                + mod.roll(c * gup, 1, axis)
+            )
+
+        d_uprev = d_uprev + adv_adjoint(b0 * vxc / dx, vxf, 0)
+        d_uprev = d_uprev + adv_adjoint(b0 * vyc / dy, vyf, 1)
+
+        def laplace(q):
+            return (mod.roll(q, -1, 0) - 2 * q + mod.roll(q, 1, 0)) / dx**2 + (
+                mod.roll(q, -1, 1) - 2 * q + mod.roll(q, 1, 1)
+            ) / dy**2
+
+        d_vxc = b0 * du_x / dx
+        d_vyc = b0 * du_y / dy
+        d_vxp = jnp.zeros_like(vxp)
+        d_vyp = jnp.zeros_like(vyp)
+        if kxreg:
+            # The periodic Laplacian is self-adjoint.
+            d_vxc = d_vxc + laplace(w2) * kxreg
+            d_vyc = d_vyc + laplace(w3) * kxreg
+        if ktreg:
+            k = ktreg / dt
+            b4 = mod.where(m0, zero, w4) * k
+            b5 = mod.where(m0, zero, w5) * k
+            d_vxc = d_vxc + b4
+            d_vxp = d_vxp - b4
+            d_vyc = d_vyc + b5
+            d_vyp = d_vyp - b5
+
+        return (d_ucur, d_uprev, d_vxc, d_vxp, d_vyc, d_vyp), ()
+
+    return row_vjp
+
+
+def _attach_row_vjp(row_fn, mod, dt, dx, dy, args):
+    """Opt-in closed-form adjoint (ODIL_ROW_VJP=hand): the kernels use
+    ``row_fn.vjp`` instead of in-kernel ``jax.vjp`` when present."""
+    if os.environ.get("ODIL_ROW_VJP", "") == "hand":
+        row_fn.vjp = _make_row_vjp(
+            mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg
+        )
+    return row_fn
+
+
 def _kernel_decl(ctx):
     """The fused-kernel declaration shared by the kernel operators and the
     halo one-pass builder (halo.make_halo_loss_grad_fn): the row function,
@@ -146,7 +245,10 @@ def _kernel_decl(ctx):
     extra = ctx.extra
     args = extra.args
     dt, dx, dy = map(float, ctx.step())
-    row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
+    row_fn = _attach_row_vjp(
+        _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg),
+        ctx.mod, dt, dx, dy, args,
+    )
     nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
     return dict(
         row_fn=row_fn,
@@ -205,7 +307,10 @@ def operator_fused_mg(ctx):
     extra = ctx.extra
     args = extra.args
     dt, dx, dy = map(float, ctx.step())
-    row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
+    row_fn = _attach_row_vjp(
+        _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg),
+        ctx.mod, dt, dx, dy, args,
+    )
     nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
     terms = rowwise_loss_terms_mg(
         row_fn,
@@ -233,7 +338,10 @@ def _mg_loss_and_grads(ctx):
     extra = ctx.extra
     args = extra.args
     dt, dx, dy = map(float, ctx.step())
-    row_fn = _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg)
+    row_fn = _attach_row_vjp(
+        _make_row_fn(ctx.mod, dt, dx, dy, args.kimp, args.kxreg, args.ktreg),
+        ctx.mod, dt, dx, dy, args,
+    )
     nterms = 2 + (2 if args.kxreg else 0) + (2 if args.ktreg else 0)
     t0s = tuple(parts[k][0] for k in keys)
     factors0 = tuple(parts[k][1] for k in keys)

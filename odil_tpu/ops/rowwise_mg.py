@@ -550,9 +550,22 @@ def _backward_mg(
             return tuple(row_fn(i % T, T, rws, data_rows, pv, consts_v))
 
         flat_rows = tuple(rows[f][m] for f in range(nf) for m in range(hist + 1))
-        res, vjp_fn = jax.vjp(residuals_of, *(flat_rows + tuple(params_v)))
-        w = _weights_of(gvec, res, nterms)
-        cots = vjp_fn(w)
+        hand_vjp = getattr(row_fn, "vjp", None)
+        if hand_vjp is not None:
+            # Operator-supplied closed-form adjoint (e.g. veltracer's
+            # _make_row_vjp): same flat (field-major, m-minor) cotangent
+            # order as the autodiff path; verified against jax.vjp in
+            # tests and trajectory-gated before becoming a default.
+            res = residuals_of(*(flat_rows + tuple(params_v)))
+            w = _weights_of(gvec, res, nterms)
+            dflat, dpar = hand_vjp(
+                i % T, T, rows, data_rows, params_v, consts_v, w
+            )
+            cots = tuple(dflat) + tuple(dpar)
+        else:
+            res, vjp_fn = jax.vjp(residuals_of, *(flat_rows + tuple(params_v)))
+            w = _weights_of(gvec, res, nterms)
+            cots = vjp_fn(w)
 
         if with_sums:
             @pl.when(i == 0)
