@@ -961,3 +961,75 @@ def test_tiled_onepass_xpad():
     for a, b in zip(g0, dfields):
         assert b.shape == (T, X, Y)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6)
+
+
+def test_hand_row_vjp_matches_autodiff(monkeypatch):
+    """The opt-in closed-form adjoint of the flagship row function
+    (veltracer._make_row_vjp, consumed via the row_fn.vjp hook when
+    ODIL_ROW_VJP=hand): (a) cotangents match jax.vjp of the row function
+    to fp32 roundoff at every special row and flag combination; (b) the
+    full fused loss+grad route with the hook engaged matches the
+    autodiff default to the same tolerance."""
+    import jax.numpy as jnp
+
+    from odil_tpu.models import veltracer as vt
+
+    dt, dx, dy = 0.017, 0.01, 0.012
+    T = 9
+    rng = np.random.RandomState(0)
+    shape = (16, 16)
+    rows = tuple(
+        tuple(jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(2))
+        for _ in range(3)
+    )
+    consts = tuple(
+        jnp.asarray(rng.standard_normal(shape), jnp.float32) for _ in range(2)
+    )
+    flat = tuple(rows[f][m] for f in range(3) for m in range(2))
+    for kxreg, ktreg in [(1e-3, 2e-3), (0.0, 0.0), (1e-3, 0.0), (0.0, 2e-3)]:
+        rf = vt._make_row_fn(jnp, dt, dx, dy, 1.3, kxreg, ktreg)
+        rv = vt._make_row_vjp(jnp, dt, dx, dy, 1.3, kxreg, ktreg)
+        nterms = 2 + (2 if kxreg else 0) + (2 if ktreg else 0)
+        for it in [0, 1, 2, 5, T - 2, T - 1]:
+            def f(*fl):
+                rws = ((fl[0], fl[1]), (fl[2], fl[3]), (fl[4], fl[5]))
+                return tuple(rf(it, T, rws, (), (), consts))
+
+            res, vjp = jax.vjp(f, *flat)
+            cots = tuple(
+                jnp.asarray(rng.standard_normal(shape), jnp.float32)
+                for _ in range(nterms)
+            )
+            want = vjp(cots)
+            got, dpar = rv(it, T, rows, (), (), consts, cots)
+            assert dpar == ()
+            for a, b in zip(want, got):
+                a, b = np.asarray(a), np.asarray(b)
+                scale = max(1.0, float(np.max(np.abs(a))))
+                np.testing.assert_allclose(a, b, rtol=2e-6, atol=2e-6 * scale)
+
+    def run(env):
+        if env:
+            monkeypatch.setenv("ODIL_ROW_VJP", env)
+        else:
+            monkeypatch.delenv("ODIL_ROW_VJP", raising=False)
+        problem, state, _ = vt.build(
+            nt=8, nx=16, ny=16, kernel="pallas_mg", multigrid=True,
+            dtype=np.float32,
+        )
+        fn = problem.make_loss_grad_fn(state, interpret=True)
+        assert fn is not None
+        _, arrays = problem.make_loss_fn(state)
+        r2 = np.random.RandomState(3)
+        arrays = [
+            jnp.asarray(0.1 * r2.standard_normal(a.shape), jnp.float32)
+            for a in arrays
+        ]
+        (loss, _), grads = jax.jit(fn)(arrays, problem.tracers)
+        return float(loss), [np.asarray(g) for g in grads]
+
+    l_auto, g_auto = run("")
+    l_hand, g_hand = run("hand")
+    np.testing.assert_allclose(l_hand, l_auto, rtol=1e-6)
+    for a, b in zip(g_auto, g_hand):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
